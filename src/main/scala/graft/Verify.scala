@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Classic (permissive) evaluation: the higher-order hash folds rely on
+      // wrap-around semantics, and DuckDB-side casts are aligned to this.
+      .config("spark.sql.ansi.enabled", "false")
+      // Write timestamps the way DuckDB reads them natively.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Training-data text pipeline over the `documents` table: tokenization,
+  * quality scoring, language ID, fingerprinting, exact + near dedup
+  * (MinHash-LSH, SimHash, n-gram Jaccard), 10-K extraction (the X1/X2
+  * contract, built-in regexp form — swapped to the custom Catalyst
+  * expression in graft.expr without changing query semantics), HTML→text
+  * strip, and multimodal metadata plumbing.
+  *
+  * Scale notes (100 TB): everything here is a narrow per-row expression
+  * chain until the LSH band join, which is an equi-shuffle on
+  * (band, band_key) with a bucket-size cap to bound mega-bucket blowup —
+  * the standard LSH skew guard.
+  */
+object TextOps {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  // ------------------------------------------------------------ tokenize
+  private val tokenCount = Q(
+    "token_count",
+    """SELECT doc_id,
+      |       CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]')) AS BIGINT)
+      |         AS re_tokens,
+      |       CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      size(tokens).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]', 0)"))
+        .cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- quality
+  private val STOPWORDS = Seq("a", "the", "of", "and", "to", "in")
+
+  private def stopCount(toks: Column): Column =
+    size(filter(toks, w => w.isInCollection(STOPWORDS)))
+
+  private val textQuality = Q(
+    "text_quality",
+    s"""SELECT doc_id,
+       |       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |       round(CAST(len(list_filter(str_split(text, ' '),
+       |                w -> w IN (${STOPWORDS.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |             / len(str_split(text, ' ')), 4) AS stop_ratio,
+       |       round(CAST(length(text) - len(str_split(text, ' ')) + 1 AS DOUBLE)
+       |             / len(str_split(text, ' ')), 4) AS mean_wlen,
+       |       round(least(1.0, len(str_split(text, ' ')) / 100.0)
+       |             * (1.0 - CAST(len(list_filter(str_split(text, ' '),
+       |                  w -> w IN (${STOPWORDS.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |                      / len(str_split(text, ' '))), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nTok  = size(tokens)
+    val nStop = stopCount(tokens)
+    val stopRatio = nStop.cast("double") / nTok
+    documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round((length(col("text")) - nTok + 1).cast("double") / nTok, 4).as("mean_wlen"),
+      round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stopRatio), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- lang ID
+  /** N-gram-heuristic language ID: marker-token counts per language with a
+    * deterministic argmax tiebreak (en ≥ es ≥ de). Counts are exact ints,
+    * so the oracle compare is bit-stable. */
+  private val MARKERS = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "de" -> Seq("der", "die", "und", "ist"))
+
+  private val textLangId = Q(
+    "text_lang_id", {
+      val cnt = MARKERS.map { case (l, ws) =>
+        s"CAST(len(list_filter(str_split(text, ' '), w -> w IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS s_$l"
+      }.mkString(",\n       ")
+      s"""SELECT doc_id, lang, s_en, s_es, s_de,
+         |       CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |            WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS pred_lang
+         |FROM (SELECT doc_id, lang, $cnt FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val scored = MARKERS.foldLeft(documents(s, d)) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l",
+        size(filter(tokens, w => w.isInCollection(ws))).cast("long"))
+    }
+    scored.select(
+      col("doc_id"), col("lang"), col("s_en"), col("s_es"), col("s_de"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
+        .when(col("s_es") >= col("s_de"), "es")
+        .otherwise("de").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- fingerprint
+  /** Rolling document fingerprint: fold token xxhash64s with rotate-xor —
+    * bitwise-only, so it can never hit ANSI overflow, and it is
+    * order-sensitive (a permuted document fingerprints differently).
+    * Engine-specific hash → rows-only check. */
+  private val textFingerprint = Q.noOracle("text_fingerprint") { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      aggregate(
+        transform(tokens, w => xxhash64(w)),
+        lit(0L),
+        (acc, h) => (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
+          .bitwiseXOR(h)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------- dedup
+  private val dedupExact = Q(
+    "dedup_exact",
+    """SELECT CAST(min(doc_id) AS BIGINT) AS keeper, count(*) AS n_copies, text
+      |FROM documents GROUP BY text ORDER BY keeper""".stripMargin) { (s, d) =>
+    documents(s, d).groupBy("text").agg(
+      min("doc_id").cast("long").as("keeper"),
+      count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies", "text")
+      .orderBy("keeper")
+  }
+
+  /** Word 3-shingles of a document, with ANSI-safe bounds. */
+  private def shingles(toks: Column): Column =
+    filter(
+      transform(sequence(lit(1), greatest(size(toks) - 2, lit(1))),
+        i => when(size(toks) >= 3,
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2)))),
+      s => s.isNotNull)
+
+  /** Exact n-gram Jaccard inside deterministic (lang, source) blocks —
+    * the verification layer behind the LSH candidates; blocks keep the
+    * pair count linear in corpus size. */
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, lang, source,
+      |         list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |           list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+      |                  || ' ' || str_split(text, ' ')[i+2])
+      |           ELSE [] END) AS grams
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       round(CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
+      |             / (len(a.grams) + len(b.grams)
+      |                - len(list_filter(a.grams, g -> list_contains(b.grams, g)))), 4)
+      |         AS jaccard
+      |FROM sh a JOIN sh b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE len(a.grams) > 0 AND len(b.grams) > 0
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val sh = documents(s, d).select(
+      col("doc_id"), col("lang"), col("source"),
+      array_distinct(shingles(tokens)).as("grams"))
+    val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("source"),
+      col("grams").as("grams_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("source").as("source_b"), col("grams").as("grams_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
+    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
+        && col("id_a") < col("id_b"))
+      .filter(size(col("grams_a")) > 0 && size(col("grams_b")) > 0)
+      .select(col("id_a"), col("id_b"),
+        round(inter / (size(col("grams_a")) + size(col("grams_b")) - inter), 4)
+          .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signature: K independent xxhash64 seeds over the shingle set. */
+  private val MINHASH_K = 16
+  private val LSH_BANDS = 4 // 4 bands × 4 rows
+  private val BUCKET_CAP = 50 // skip mega-buckets (LSH skew guard)
+
+  private def minhashSig(sh: Column): Column =
+    array((0 until MINHASH_K).map { k =>
+      array_min(transform(sh, g => xxhash64(g, lit(k))))
+    }: _*)
+
+  /** MinHash + LSH near-dup candidates: shingle → K minhashes → band keys →
+    * equi-join on (band, key) → estimated Jaccard from signature agreement.
+    * Engine-specific hashing → rows-only check. */
+  private val dedupMinhash = Q.noOracle("dedup_minhash") { (s, d) =>
+    val rowsPerBand = MINHASH_K / LSH_BANDS
+    val sig = documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(tokens)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+    val banded = sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(array((0 until LSH_BANDS).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "band_key")))
+    // LSH skew guard: drop buckets larger than BUCKET_CAP before pairing.
+    val bucketed = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= BUCKET_CAP)
+    val l = bucketed.select(col("band"), col("band_key"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = bucketed.select(col("band").as("band_r"), col("band_key").as("key_r"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, col("band") === col("band_r") && col("band_key") === col("key_r")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          b => b)).cast("double") / MINHASH_K).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.25)
+      .orderBy("id_a", "id_b")
+      .limit(1000)
+  }
+
+  /** 64-bit SimHash from token hashes (majority vote per bit), banded into
+    * 4×16-bit chunks for candidate generation (pigeonhole-complete for
+    * hamming ≤ 3), verified with bit_count(XOR). Bitwise-only arithmetic
+    * (ANSI-safe). The bit loop needs column-valued shift amounts, which the
+    * Scala functions API doesn't expose → SQL higher-order expression. */
+  private val dedupSimhash = Q.noOracle("dedup_simhash") { (s, d) =>
+    val sh = documents(s, d)
+      .withColumn("whashes", transform(tokens, w => xxhash64(w)))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc |
+          |  if(size(filter(whashes, h -> (shiftright(h, i) & 1L) = 1L)) * 2
+          |       > size(whashes),
+          |     shiftleft(1L, i), 0L))""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("band", "chunk")))
+    val capped = banded.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "chunk")))
+      .filter(col("bucket_n") <= BUCKET_CAP)
+    val l = capped.select(col("band"), col("chunk"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val r = capped.select(col("band").as("band_r"), col("chunk").as("chunk_r"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, col("band") === col("band_r") && col("chunk") === col("chunk_r")
+        && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+      .limit(1000)
+  }
+
+  // -------------------------------------------------- extraction (X1/X2)
+  /** Deterministic 10-K-shaped text synthesized identically in both engines
+    * (the test `documents` table carries no filings). */
+  private def tenK(idCol: Column, textCol: Column): Column =
+    concat(
+      lit("ITEM 7. MANAGEMENT DISCUSSION. We reported revenue of $"),
+      ((idCol * 7) % 997).cast("string"),
+      lit(" million and net income of $"),
+      ((idCol * 3) % 499).cast("string"),
+      lit(" million for fiscal "),
+      (lit(2000) + (idCol % 25)).cast("string"),
+      lit(". "), textCol, lit(" ITEM 7A. QUANTITATIVE DISCLOSURES."))
+
+  // NOTE: no leading `||` on continuation lines — stripMargin would eat it.
+  private val tenKSql =
+    """('ITEM 7. MANAGEMENT DISCUSSION. We reported revenue of $' ||
+      | CAST((doc_id * 7) % 997 AS VARCHAR) ||
+      | ' million and net income of $' || CAST((doc_id * 3) % 499 AS VARCHAR) ||
+      | ' million for fiscal ' || CAST(2000 + (doc_id % 25) AS VARCHAR) ||
+      | '. ' || text || ' ITEM 7A. QUANTITATIVE DISCLOSURES.')""".stripMargin
+
+  private val ITEM7_PATTERN = """ITEM 7\.(.*?)ITEM 7A\."""
+
+  private val extract10k = Q(
+    "extract_10k",
+    s"""SELECT doc_id,
+       |       regexp_extract($tenKSql, 'ITEM 7\\.(.*?)ITEM 7A\\.', 1) AS item7
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(tenK(col("doc_id"), col("text")), ITEM7_PATTERN, 1).as("item7"))
+      .orderBy("doc_id")
+  }
+
+  private val extractMetrics = Q(
+    "extract_metrics",
+    s"""SELECT doc_id,
+       |       CAST(regexp_extract($tenKSql, 'revenue of \\$$([0-9]+) million', 1) AS DOUBLE)
+       |         AS revenue,
+       |       CAST(regexp_extract($tenKSql, 'net income of \\$$([0-9]+) million', 1) AS DOUBLE)
+       |         AS net_income,
+       |       CAST(regexp_extract($tenKSql, 'fiscal ([0-9]{4})', 1) AS BIGINT) AS year
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = tenK(col("doc_id"), col("text"))
+    documents(s, d).select(
+      col("doc_id"),
+      regexp_extract(t, """revenue of \$([0-9]+) million""", 1).cast("double").as("revenue"),
+      regexp_extract(t, """net income of \$([0-9]+) million""", 1).cast("double").as("net_income"),
+      regexp_extract(t, """fiscal ([0-9]{4})""", 1).cast("long").as("year"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- html → text
+  private val htmlSql =
+    """('<html><head><title>' || source || '</title></head><body><h1>Doc ' ||
+      | CAST(doc_id AS VARCHAR) || '</h1><p>' || text || '</p><a href="/next/' ||
+      | CAST(doc_id AS VARCHAR) || '">next</a></body></html>')""".stripMargin
+
+  private def htmlCol: Column = concat(
+    lit("<html><head><title>"), col("source"),
+    lit("</title></head><body><h1>Doc "), col("doc_id").cast("string"),
+    lit("</h1><p>"), col("text"), lit("</p><a href=\"/next/"),
+    col("doc_id").cast("string"), lit("\">next</a></body></html>"))
+
+  private val htmlToText = Q(
+    "html_to_text",
+    s"""SELECT doc_id,
+       |       trim(regexp_replace(regexp_replace($htmlSql, '<[^>]*>', ' ', 'g'),
+       |                           ' +', ' ', 'g')) AS stripped
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(htmlCol, "<[^>]*>", " "), " +", " "))
+        .as("stripped"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------- multimodal
+  /** Multimodal plumbing: opaque binary column + typed metadata extraction.
+    * The "decode" is a deterministic stub (no image/audio libs in this
+    * container) — the Spark-side schema/partitioning/batching is real; see
+    * graft.multimodal for the mapPartitions decode pipeline. */
+  private val multimodalMeta = Q(
+    "multimodal_meta",
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+      |       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+      |       CAST((ascii(substr(text, 1, 1)) * 3) % 480 AS BIGINT) AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val blob = encode(col("text"), "UTF-8")
+    documents(s, d).select(
+      col("doc_id"),
+      length(blob).cast("long").as("n_bytes"),
+      ascii(substring(col("text"), 1, 1)).cast("long").as("first_byte"),
+      (length(blob) % 640).cast("long").as("fake_width"),
+      ((ascii(substring(col("text"), 1, 1)) * 3) % 480).cast("long").as("fake_height"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    tokenCount, textQuality, textLangId, textFingerprint,
+    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    extract10k, extractMetrics, htmlToText, multimodalMeta)
+}
