@@ -230,13 +230,8 @@ object TextOps {
     * Scala functions API doesn't expose → SQL higher-order expression. */
   private val dedupSimhash = Q.noOracle("dedup_simhash") { (s, d) =>
     val sh = documents(s, d)
-      .withColumn("whashes", transform(tokens, w => xxhash64(w)))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc |
-          |  if(size(filter(whashes, h -> (shiftright(h, i) & 1L) = 1L)) * 2
-          |       > size(whashes),
-          |     shiftleft(1L, i), 0L))""".stripMargin))
-      .select(col("doc_id"), col("simhash"))
+      .select(col("doc_id"),
+        graft.expr.SimHash64.simhash64(col("text")).as("simhash"))
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
@@ -282,6 +277,10 @@ object TextOps {
 
   private val ITEM7_PATTERN = """ITEM 7\.(.*?)ITEM 7A\."""
 
+  /** X1 as the custom Catalyst expression (graft.expr.ExtractFilingText);
+    * the oracle replays the pinned spec pattern with DuckDB regexp_extract
+    * (equivalent on these newline-free inputs; DOTALL matters only for
+    * multi-line filings). */
   private val extract10k = Q(
     "extract_10k",
     s"""SELECT doc_id,
@@ -289,10 +288,12 @@ object TextOps {
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     documents(s, d).select(
       col("doc_id"),
-      regexp_extract(tenK(col("doc_id"), col("text")), ITEM7_PATTERN, 1).as("item7"))
+      graft.expr.Extractors.extract_10k(tenK(col("doc_id"), col("text"))).as("item7"))
       .orderBy("doc_id")
   }
 
+  /** X2 as the custom map-valued expression, scalars pulled back out so
+    * the oracle can compute them directly. */
   private val extractMetrics = Q(
     "extract_metrics",
     s"""SELECT doc_id,
@@ -302,12 +303,43 @@ object TextOps {
        |         AS net_income,
        |       CAST(regexp_extract($tenKSql, 'fiscal ([0-9]{4})', 1) AS BIGINT) AS year
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val t = tenK(col("doc_id"), col("text"))
-    documents(s, d).select(
-      col("doc_id"),
-      regexp_extract(t, """revenue of \$([0-9]+) million""", 1).cast("double").as("revenue"),
-      regexp_extract(t, """net income of \$([0-9]+) million""", 1).cast("double").as("net_income"),
-      regexp_extract(t, """fiscal ([0-9]{4})""", 1).cast("long").as("year"))
+    val m = graft.expr.Extractors.extract_metrics(tenK(col("doc_id"), col("text")))
+    documents(s, d)
+      .withColumn("m", m)
+      .select(
+        col("doc_id"),
+        element_at(col("m"), "revenue").as("revenue"),
+        element_at(col("m"), "net_income").as("net_income"),
+        element_at(col("m"), "year").cast("long").as("year"))
+      .orderBy("doc_id")
+  }
+
+  /** P1 — URL canonicalization over synthesized noisy URLs. The oracle
+    * doesn't re-canonicalize: it constructs the EXPECTED canonical string
+    * per noise variant directly, which is a stronger check. */
+  private val canonicalizeUrl = Q(
+    "canonicalize_url",
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 5 = 4
+      |            THEN 'https://' || source || '.example.com/docs/'
+      |                 || CAST(doc_id AS VARCHAR) || '?b=2&a=1'
+      |            ELSE 'https://' || source || '.example.com/docs/'
+      |                 || CAST(doc_id AS VARCHAR) END AS canonical
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val id = col("doc_id").cast("string")
+    val noisy = when(col("doc_id") % 5 === 0,
+        concat(lit("HTTPS://"), upper(col("source")), lit(".EXAMPLE.COM/docs/"), id))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://"), col("source"), lit(".example.com:443/docs/"), id))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("https://"), col("source"), lit(".example.com/./docs/"), id))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"), id, lit("#frag")))
+      .otherwise(
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"), id, lit("?b=2&a=1&b=3")))
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.expr.CanonicalizeUrl.canonicalize_url(noisy).as("canonical"))
       .orderBy("doc_id")
   }
 
@@ -362,5 +394,5 @@ object TextOps {
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
-    extract10k, extractMetrics, htmlToText, multimodalMeta)
+    extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta)
 }

@@ -1,0 +1,12 @@
+// Lives in the org.apache.spark.sql package to reach the private[sql]
+// Column ⇄ Expression conversions (the sanctioned pattern for external
+// Catalyst extensions on Spark 4, where Column wraps a ColumnNode).
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object GraftSqlBridge {
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+}
