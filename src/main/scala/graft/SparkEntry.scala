@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Q, Relational, Stats, TextOps, VectorOps}
+import graft.queries.{Q, Relational, SeenOps, Stats, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** Every registered operator query, in a stable order. */
   val registry: Seq[Q] =
-    Relational.all ++ Stats.all ++ TextOps.all ++ VectorOps.all
+    Relational.all ++ Stats.all ++ TextOps.all ++ VectorOps.all ++ SeenOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The segmentation downstream: grouped aggregation over the

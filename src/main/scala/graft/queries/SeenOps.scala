@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.agg.FilterAggregators
+import graft.crawl.Seen
+import graft.expr.FilterExprs
+import graft.tables.Tables._
+
+/** Registry entries for the approximate-membership layer (A5/A6/J5).
+  * Bloom/cuckoo bit patterns are engine-specific (no DuckDB equivalent) —
+  * these queries reduce the filters to DETERMINISTIC COUNTS so the driver's
+  * rows-only check still pins behavior run-over-run. The no-false-negative
+  * guarantees live in the property tests. */
+object SeenOps {
+
+  private val N_SHARDS = 8
+
+  /** Build bloom shards over the orders keys, probe with customer keys:
+    * every true member must hit; non-member hits are fpp noise (counted,
+    * deterministic given the fixed hash functions). */
+  private val bloomSeen = Q.noOracle("bloom_seen_filter") { (s, d) =>
+    val seen = orders(s, d).select(xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
+    val shards = Seen.buildBloomShards(seen, N_SHARDS, 20000, 0.01)
+    val probes = lineitem(s, d)
+      .select(xxhash64(col("l_orderkey").cast("string")).as("urlHash")).distinct()
+    probes
+      .withColumn("shardId", Seen.shardFor(col("urlHash"), N_SHARDS))
+      .join(broadcast(shards), Seq("shardId"), "left")
+      .withColumn("might",
+        coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(col("might"), 1L).otherwise(0L)).as("n_might_contain"))
+  }
+
+  /** Dedup-before-shuffle end to end: candidates = lineitem orderkeys,
+    * seen = orders with orderkey < 5000. Output: how many candidates
+    * survive (exact, deterministic — bloom fpp only moves work between the
+    * fast and slow paths, never the answer). */
+  private val bloomDedup = Q(
+    "bloom_dedup_pipeline",
+    """SELECT count(*) AS n_new FROM (
+      |  SELECT DISTINCT l_orderkey FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 5000))""".stripMargin) { (s, d) =>
+    val seen = orders(s, d).filter(col("o_orderkey") < 5000)
+      .select(xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
+    val shards = Seen.buildBloomShards(seen, N_SHARDS, 20000, 0.01)
+    val candidates = lineitem(s, d)
+      .select(col("l_orderkey"), xxhash64(col("l_orderkey").cast("string")).as("urlHash"))
+      .dropDuplicates("urlHash")
+    Seen.filterNew(candidates, seen, shards, N_SHARDS)
+      .agg(count(lit(1)).as("n_new"))
+  }
+
+  /** Cuckoo build + probe: insert all order-key hashes, probe them all —
+    * n_hits must equal n_probed (no false negatives). The delete path is
+    * covered by the CuckooFilterSpec property tests (deletion is a
+    * filter-object operation, not a SQL one). */
+  private val cuckooSeen = Q.noOracle("cuckoo_seen_filter") { (s, d) =>
+    val keys = orders(s, d).select(col("o_orderkey"),
+      xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
+    val filterBytes = keys
+      .agg(FilterAggregators.cuckoo_agg(40000)(col("urlHash")).as("bits"))
+    keys.crossJoin(broadcast(filterBytes))
+      .withColumn("hit", FilterExprs.cuckoo_contains(col("bits"), col("urlHash")))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+  }
+
+  val all: Seq[Q] = Seq(bloomSeen, bloomDedup, cuckooSeen)
+}
