@@ -1,0 +1,93 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.fetch.Fetcher
+
+/** Multi-round crawl orchestration (in-memory state; graft.store snapshots
+  * add durability/resume on top — §3.4). Each round's state DataFrames are
+  * eagerly localCheckpoint-ed: the iterative plan would otherwise grow
+  * exponentially, and a checkpoint keeps per-round planning cost constant —
+  * the same role the Iceberg-style snapshot write plays in the durable
+  * pipeline. */
+object Crawler {
+
+  case class Result(
+      pages: DataFrame,
+      popLog: DataFrame,
+      state: CrawlRound.State,
+      lineages: Seq[RoundLineage])
+
+  def emptySeen(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[Long].toDF("urlHash")
+  }
+
+  def emptyShards(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("shardId", IntegerType),
+        StructField("bits", BinaryType),
+        StructField("numKeys", LongType))))
+
+  def run(spark: SparkSession, seeds: Seq[String], fetcher: Fetcher,
+          robots: DataFrame, budgets: DataFrame, defaultBudget: Int,
+          nRounds: Int, cfg: CrawlConfig = CrawlConfig()): Result = {
+
+    var state = CrawlRound.State(
+      frontier = Robots.filterAllowed(Frontier.fromSeeds(spark, seeds), robots)
+        .localCheckpoint(true),
+      seenExact = emptySeen(spark),
+      bloomShards = emptyShards(spark))
+
+    val pagesAcc = Seq.newBuilder[DataFrame]
+    val popAcc = Seq.newBuilder[DataFrame]
+    val lineages = Seq.newBuilder[RoundLineage]
+
+    var r = 0
+    var continue = true
+    while (r < nRounds && continue) {
+      val out = CrawlRound.run(spark, state, robots, budgets, defaultBudget,
+        fetcher, r, cfg)
+      if (out.lineage.popped == 0) {
+        continue = false // frontier drained
+      } else {
+        pagesAcc += out.pages.localCheckpoint(true)
+        popAcc += out.popped
+          .select(lit(r).as("popRound"), col("host"), col("popRank"),
+            col("url"), col("urlHash"), col("priority"), col("depth"))
+          .localCheckpoint(true)
+        lineages += out.lineage
+        state = CrawlRound.State(
+          frontier = out.state.frontier.localCheckpoint(true),
+          seenExact = out.state.seenExact.localCheckpoint(true),
+          bloomShards = out.state.bloomShards.localCheckpoint(true))
+        out.popped.unpersist()
+      }
+      r += 1
+    }
+
+    val pages = pagesAcc.result().reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Nil)))
+    val pops = popAcc.result().reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Nil)))
+    Result(pages, pops, state, lineages.result())
+  }
+
+  /** The canonical popped-URL sequence — THE crawl-ordering artifact the
+    * golden test pins (BASELINE.json: "matching the reference's crawl
+    * ordering"): total order (popRound, host, popRank). */
+  def popSequence(popLog: DataFrame): Seq[String] =
+    popLog.orderBy("popRound", "host", "popRank")
+      .select(concat_ws("\t", col("popRound"), col("host"), col("popRank"), col("url")))
+      .collect().map(_.getString(0)).toSeq
+
+  /** The final URL-seen set as a sorted hash dump (the seen-set parity
+    * artifact). */
+  def seenDump(state: CrawlRound.State): Seq[Long] =
+    state.seenExact.orderBy("urlHash").collect().map(_.getLong(0)).toSeq
+}

@@ -1,0 +1,59 @@
+package graft.crawl
+
+import java.sql.Timestamp
+
+/** Crawl data model (SURVEY.md §1.2). All tables are column-named
+  * DataFrames internally (joins rename too much for typed Datasets to pay
+  * off mid-pipeline); these case classes pin the schemas at API edges. */
+
+/** One frontier entry. `urlHash = xxhash64(canonical url)` is the identity
+  * everywhere (dedup, seen set, joins); `priority` and all ordering inputs
+  * are pure functions of the data so the pop order is identical at any
+  * partition count. */
+case class FrontierEntry(
+    url: String,
+    urlHash: Long,
+    host: String,
+    priority: Double,
+    depth: Int,
+    round: Int)
+
+case class RobotsRules(
+    host: String,
+    allow: Seq[String],
+    disallow: Seq[String],
+    crawlDelayMs: Long)
+
+case class HostBudget(host: String, maxFetchesPerRound: Int)
+
+case class FetchResult(
+    url: String,
+    urlHash: Long,
+    status: Int,
+    fetchTs: Timestamp,
+    html: Array[Byte])
+
+/** Per-round, per-partition counters (BASELINE.json: "per-partition
+  * lineage + metrics"). partitionId = -1 marks the round-total row. */
+case class RoundLineage(
+    round: Int,
+    partitionId: Int,
+    popped: Long,
+    fetched: Long,
+    extracted: Long,
+    rawCandidates: Long,
+    enqueued: Long,
+    dedupDropped: Long)
+
+/** Knobs, sized for the sandbox by default; the 10^10-scale values are a
+  * config change, not a code change (SURVEY.md §7 hard part 4). */
+case class CrawlConfig(
+    nShards: Int = 16,
+    expectedKeysPerShard: Long = 1L << 16,
+    bloomFpp: Double = 0.01,
+    defaultBudget: Int = 5,
+    /** Salt buckets for the two-phase skew-safe frontier pop (§4.4). */
+    saltBuckets: Int = 16,
+    /** Children enter the frontier at basePriority / 2^depth. */
+    priorityHalving: Boolean = true,
+    maxDepth: Int = 100)

@@ -1,0 +1,55 @@
+package graft.crawl
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S5 — robots.txt rules and per-host politeness budgets as broadcast
+  * dimension tables. Rules are host-keyed prefix lists; in batch rounds the
+  * politeness enforcement is the per-round budget (crawlDelayMs is carried
+  * as data — a streaming scheduler would enforce it as a delay, a batch
+  * scheduler as fetches-per-round). */
+object Robots {
+
+  /** robots.json: [{"host": "...", "allow": [...], "disallow": [...],
+    * "crawlDelayMs": 100}, ...] (one JSON array or JSON-lines). */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("multiLine", "true").json(path)
+      .select(
+        col("host").cast("string"),
+        coalesce(col("allow"), array()).cast("array<string>").as("allow"),
+        coalesce(col("disallow"), array()).cast("array<string>").as("disallow"),
+        coalesce(col("crawlDelayMs"), lit(0L)).cast("long").as("crawlDelayMs"))
+  }
+
+  /** budgets.json: {"default": 5, "h0.example": 2, ...} → (host, budget)
+    * rows; the "default" key becomes the fallback budget. */
+  def loadBudgets(spark: SparkSession, path: String): (DataFrame, Int) = {
+    import spark.implicits._
+    val node = new ObjectMapper().readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    var default = 5
+    val rows = Seq.newBuilder[(String, Int)]
+    node.fields().forEachRemaining { e =>
+      if (e.getKey == "default") default = e.getValue.asInt()
+      else rows += e.getKey -> e.getValue.asInt()
+    }
+    (rows.result().toDF("host", "budget"), default)
+  }
+
+  /** Keep only rows whose URL path is allowed by the host's rules:
+    * disallowed iff some disallow prefix matches and no allow prefix
+    * rescues it. Hosts with no rules are allowed. The join is an explicit
+    * broadcast — robots is always a small dimension. */
+  def filterAllowed(df: DataFrame, robots: DataFrame): DataFrame = {
+    val path = regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)?$", 1)
+    df.join(broadcast(robots.select("host", "allow", "disallow")), Seq("host"), "left")
+      .withColumn("__path", path)
+      .withColumn("__denied",
+        coalesce(exists(col("disallow"), d => col("__path").startsWith(d)), lit(false)) &&
+          !coalesce(exists(col("allow"), a => col("__path").startsWith(a)), lit(false)))
+      .filter(!col("__denied"))
+      .drop("allow", "disallow", "__path", "__denied")
+  }
+}
