@@ -1,0 +1,142 @@
+package graft.store
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.crawl._
+import graft.fetch.Fetcher
+
+/** The durable crawl (SURVEY.md §3.4, BASELINE.json: "checkpointed to
+  * Iceberg snapshots with per-partition lineage and counters so a killed
+  * run resumes exactly").
+  *
+  * Round commit protocol: each round's outputs go to their snapshot tables
+  * first (frontier / seen / shards / pages / lineage — each an atomic
+  * pointer swap), then ONE round-log entry records the five table versions,
+  * then the round-log `current` pointer swaps atomically. The round-log
+  * pointer is the linearization point: a kill anywhere before it leaves the
+  * previous round as the visible state, and the re-run — being a pure
+  * function of the committed inputs (deterministic pop order, hash-derived
+  * priorities, no wall clock in the data path) — reproduces byte-identical
+  * outputs. Orphaned table versions from a killed round are unreferenced
+  * and harmless.
+  */
+class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = CrawlConfig()) {
+  private val mapper = new ObjectMapper()
+  val frontier = new SnapshotTable(spark, root, "frontier")
+  val seen = new SnapshotTable(spark, root, "seen")
+  val shards = new SnapshotTable(spark, root, "shards")
+  val pages = new SnapshotTable(spark, root, "pages")
+  val lineage = new SnapshotTable(spark, root, "lineage")
+
+  private val logDir = Paths.get(root, "roundlog")
+  private val logPointer = logDir.resolve("current")
+
+  case class RoundEntry(round: Int, frontierV: Long, seenV: Long, shardsV: Long,
+                        pagesV: Long, lineageV: Long)
+
+  def lastCompleteRound: Option[Int] =
+    if (Files.exists(logPointer)) Some(Files.readString(logPointer).trim.toInt) else None
+
+  private def entry(round: Int): RoundEntry = {
+    val n = mapper.readTree(Files.readString(logDir.resolve(s"round-$round.json")))
+    RoundEntry(n.get("round").asInt(), n.get("frontierV").asLong(),
+      n.get("seenV").asLong(), n.get("shardsV").asLong(),
+      n.get("pagesV").asLong(), n.get("lineageV").asLong())
+  }
+
+  private def writeEntry(e: RoundEntry): Unit = {
+    Files.createDirectories(logDir)
+    val node = mapper.createObjectNode()
+    node.put("round", e.round)
+    node.put("frontierV", e.frontierV); node.put("seenV", e.seenV)
+    node.put("shardsV", e.shardsV); node.put("pagesV", e.pagesV)
+    node.put("lineageV", e.lineageV)
+    Files.writeString(logDir.resolve(s"round-${e.round}.json"), node.toString)
+    val tmp = logDir.resolve(s".current.tmp.${e.round}")
+    Files.writeString(tmp, e.round.toString)
+    Files.move(tmp, logPointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def stateAt(round: Int): CrawlRound.State = {
+    val e = entry(round)
+    CrawlRound.State(
+      frontier = frontier.read(e.frontierV),
+      seenExact = seen.read(e.seenV),
+      bloomShards = shards.read(e.shardsV))
+  }
+
+  /** Round "-1": the seed state. Idempotent — safe to call on an
+    * already-initialized root (no-op). */
+  def init(seeds: Seq[String], robots: DataFrame): Unit = {
+    if (lastCompleteRound.isDefined) return
+    val f0 = Robots.filterAllowed(Frontier.fromSeeds(spark, seeds), robots)
+    writeEntry(RoundEntry(-1,
+      frontierV = frontier.commit(f0),
+      seenV = seen.commit(Crawler.emptySeen(spark)),
+      shardsV = shards.commit(Crawler.emptyShards(spark)),
+      pagesV = -1L, lineageV = -1L))
+  }
+
+  /** Per-partition lineage rows (partitionId ≥ 0 carry the popped-count of
+    * each physical partition; partitionId = -1 is the round total across
+    * every counter). */
+  private def lineageDf(out: CrawlRound.Output, r: Int): DataFrame = {
+    import spark.implicits._
+    val l = out.lineage
+    val total = Seq(l).toDF()
+    val perPart = out.popped
+      .groupBy(spark_partition_id().cast("int").as("partitionId"))
+      .agg(count(lit(1)).as("popped"))
+      .select(lit(r).as("round"), col("partitionId"), col("popped"),
+        lit(0L).as("fetched"), lit(0L).as("extracted"),
+        lit(0L).as("rawCandidates"), lit(0L).as("enqueued"), lit(0L).as("dedupDropped"))
+    total.unionByName(perPart)
+  }
+
+  /** Run rounds (lastComplete+1 .. untilRound]. `failBeforeLogAt` injects a
+    * crash AFTER the table commits but BEFORE the round-log swap of that
+    * round — the kill-resume test's hook. Returns lineages of the rounds
+    * actually run. */
+  def runRounds(untilRound: Int, fetcher: Fetcher, robots: DataFrame,
+                budgets: DataFrame, defaultBudget: Int,
+                failBeforeLogAt: Int = Int.MinValue): Seq[RoundLineage] = {
+    val start = lastCompleteRound.getOrElse(
+      throw new IllegalStateException("call init() first")) + 1
+    val out = Seq.newBuilder[RoundLineage]
+    var r = start
+    var continue = true
+    while (r <= untilRound && continue) {
+      val state = stateAt(r - 1)
+      val res = CrawlRound.run(spark, state, robots, budgets, defaultBudget,
+        fetcher, r, cfg)
+      if (res.lineage.popped == 0) { continue = false }
+      else {
+        val e = RoundEntry(r,
+          frontierV = frontier.commit(res.state.frontier),
+          seenV = seen.commit(res.state.seenExact),
+          shardsV = shards.commit(res.state.bloomShards),
+          pagesV = pages.commit(res.pages),
+          lineageV = lineage.commit(lineageDf(res, r)))
+        if (r == failBeforeLogAt)
+          throw new RuntimeException(s"injected kill before round-$r log commit")
+        writeEntry(e)
+        out += res.lineage
+      }
+      res.popped.unpersist()
+      r += 1
+    }
+    out.result()
+  }
+
+  /** All pages crawled up to the last complete round (pages are per-round
+    * snapshots; the union is the full corpus-crawled table). */
+  def allPages(): Option[DataFrame] = lastCompleteRound.filter(_ >= 0).map { last =>
+    (0 to last).map(r => pages.read(entry(r).pagesV)).reduce(_ unionByName _)
+  }
+
+  def currentState(): CrawlRound.State = stateAt(lastCompleteRound.get)
+}

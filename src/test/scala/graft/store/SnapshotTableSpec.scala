@@ -1,0 +1,55 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SnapshotTableSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("snaptest").toString
+
+  test("commit → read round-trips; versions are immutable (time travel)") {
+    val t = new SnapshotTable(spark, tmpRoot(), "t")
+    val v0 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v1 = t.commit(Seq((3L, "c")).toDF("k", "s"))
+    assert(v0 == 0 && v1 == 1)
+    assert(t.currentVersion.contains(1L))
+    assert(t.read().collect().map(_.getLong(0)).sorted.toSeq == Seq(3L))
+    assert(t.read(v0).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("empty DataFrame commits and reads back with schema") {
+    val t = new SnapshotTable(spark, tmpRoot(), "t")
+    t.commit(Seq.empty[(Long, String)].toDF("k", "s"))
+    val back = t.read()
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("k", "s"))
+  }
+
+  test("manifest stats prune files by range") {
+    val t = new SnapshotTable(spark, tmpRoot(), "t")
+    // 8 files, each covering a disjoint k range
+    val df = spark.range(0, 800).select(col("id").as("k"))
+      .repartitionByRange(8, col("k"))
+    t.commit(df)
+    val total = 8
+    val pruned = t.prunedFileCount("k", 10, 20)
+    assert(pruned < total, s"expected pruning, still reading $pruned/$total files")
+    val rows = t.readPruned("k", 10, 20).collect().map(_.getLong(0)).sorted
+    assert(rows.toSeq == (10L to 20L))
+  }
+
+  test("binary and map columns survive the round-trip") {
+    val t = new SnapshotTable(spark, tmpRoot(), "t")
+    val df = Seq((1L, Array[Byte](1, 2, 3), Map("a" -> 1.5))).toDF("k", "bits", "m")
+    t.commit(df)
+    val r = t.read().collect()(0)
+    assert(r.getAs[Array[Byte]]("bits").toSeq == Seq[Byte](1, 2, 3))
+    assert(r.getAs[Map[String, Double]]("m") == Map("a" -> 1.5))
+  }
+}
