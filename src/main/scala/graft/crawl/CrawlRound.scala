@@ -26,23 +26,42 @@ object CrawlRound {
 
   case class State(frontier: DataFrame, seenExact: DataFrame, bloomShards: DataFrame)
 
+  /** `cached`: intermediates persisted inside run(); the caller MUST
+    * materialize (checkpoint/write) `state` and `pages` first, then call
+    * `unpersistCached()` — releasing them earlier re-runs the round's
+    * windows and fetch on every downstream use. */
   case class Output(
       pages: DataFrame,
       popped: DataFrame,
       state: State,
-      lineage: RoundLineage)
+      lineage: RoundLineage,
+      cached: Seq[DataFrame]) {
+    def unpersistCached(): Unit = cached.foreach(_.unpersist())
+  }
+
+  private val verbose = sys.env.get("GRAFT_CRAWL_VERBOSE").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    if (verbose) System.err.println(f"[round] $label%-12s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    r
+  }
 
   def run(spark: SparkSession, state: State, robots: DataFrame,
           budgets: DataFrame, defaultBudget: Int, fetcher: Fetcher,
           round: Int, cfg: CrawlConfig): Output = {
 
-    val (popped0, remaining) = Frontier.pop(
+    val (popped0, remaining0) = Frontier.pop(
       state.frontier, budgets, defaultBudget, cfg.saltBuckets)
     val popped = popped0.persist(StorageLevel.MEMORY_AND_DISK)
-    val nPopped = popped.count()
+    // remaining is consumed twice (enqueue anti-join path + next frontier);
+    // without a persist each use re-runs both pop windows over the full
+    // frontier — the largest table in the round.
+    val remaining = remaining0.persist(StorageLevel.MEMORY_AND_DISK)
+    val nPopped = timed("pop")(popped.count())
 
     val fetched = fetcher.fetch(popped).persist(StorageLevel.MEMORY_AND_DISK)
-    val nFetched = fetched.filter(col("status") === 200).count()
+    val nFetched = timed("fetch")(fetched.filter(col("status") === 200).count())
 
     // X1/X2 — the extraction expressions; `html` never survives this select
     // (column pruning: the widest column dies as early as possible).
@@ -69,14 +88,18 @@ object CrawlRound {
 
     // Frontier expansion with dedup-before-shuffle.
     val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val nRaw = rawCandidates.count()
+    val nRaw = timed("expand")(rawCandidates.count())
     val allowed = Robots.filterAllowed(rawCandidates, robots)
+    // Anti vs the CHECKPOINTED input frontier, not `remaining`: frontier =
+    // remaining ∪ popped and popped ⊆ seenExact2 (already excluded by
+    // filterNew), so the result is identical — but the input frontier needs
+    // no recomputation.
     val newEntries = Seen.filterNew(allowed, seenExact2, bloomShards2, cfg.nShards)
-      .join(remaining.select("urlHash"), Seq("urlHash"), "left_anti")
+      .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEnqueued = newEntries.count()
+    val nEnqueued = timed("dedup")(newEntries.count())
 
     val frontier2 = remaining.unionByName(newEntries)
 
@@ -88,6 +111,7 @@ object CrawlRound {
       dedupDropped = nRaw - nEnqueued)
 
     rawCandidates.unpersist()
-    Output(pages, popped, State(frontier2, seenExact2, bloomShards2), lineage)
+    Output(pages, popped, State(frontier2, seenExact2, bloomShards2), lineage,
+      cached = Seq(popped, remaining, fetched, newEntries))
   }
 }

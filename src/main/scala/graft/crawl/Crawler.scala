@@ -64,7 +64,7 @@ object Crawler {
           frontier = out.state.frontier.localCheckpoint(true),
           seenExact = out.state.seenExact.localCheckpoint(true),
           bloomShards = out.state.bloomShards.localCheckpoint(true))
-        out.popped.unpersist()
+        out.unpersistCached()
       }
       r += 1
     }

@@ -100,13 +100,16 @@ object SyntheticCorpus {
     }
 
   /** The 10-K-shaped body: extraction (X1/X2) has byte-stable, non-trivial
-    * targets in every page. */
-  def bodyFor(i: Long, seed: Long): String = {
+    * targets in every page. `fillScale` multiplies the filler volume
+    * (default 1 = the golden-file corpus); the bench raises it so pages
+    * carry realistic web-page weight (~10 KB+) and per-URL work dominates
+    * fixed stage latency. */
+  def bodyFor(i: Long, seed: Long, fillScale: Int = 1): String = {
     val h = mix2(seed ^ 0xb0d7, i)
     val v1 = java.lang.Long.remainderUnsigned(h, 90000) + 100
     val v2 = java.lang.Long.remainderUnsigned(mix(h), 20000) + 10
     val year = 2000 + java.lang.Long.remainderUnsigned(mix(h ^ 3), 25)
-    val nFill = (3 + java.lang.Long.remainderUnsigned(mix(h ^ 9), 6)).toInt
+    val nFill = (3 + java.lang.Long.remainderUnsigned(mix(h ^ 9), 6)).toInt * fillScale
     val filler = new StringBuilder
     var k = 0
     while (k < nFill) {
@@ -132,8 +135,9 @@ object SyntheticCorpus {
   def stripHtml(html: String): String =
     html.replaceAll("<[^>]*>", " ").replaceAll(" +", " ").trim
 
-  def htmlFor(i: Long, seed: Long, nUrls: Long, nHosts: Int, fanout: Int): String = {
-    val body = bodyFor(i, seed)
+  def htmlFor(i: Long, seed: Long, nUrls: Long, nHosts: Int, fanout: Int,
+              fillScale: Int = 1): String = {
+    val body = bodyFor(i, seed, fillScale)
     val anchors = linkTargets(i, seed, nUrls, fanout).zipWithIndex.map { case (j, k) =>
       s"""<a href="${noisyUrl(j, seed, nHosts, i * 37 + k)}">filing $j</a>"""
     }.mkString(" ")
@@ -141,8 +145,9 @@ object SyntheticCorpus {
       s"<p>$body</p> $anchors</body></html>"
   }
 
-  def pageFor(i: Long, seed: Long, nUrls: Long, nHosts: Int, fanout: Int): Page = {
-    val html = htmlFor(i, seed, nUrls, nHosts, fanout)
+  def pageFor(i: Long, seed: Long, nUrls: Long, nHosts: Int, fanout: Int,
+              fillScale: Int = 1): Page = {
+    val html = htmlFor(i, seed, nUrls, nHosts, fanout, fillScale)
     Page(
       url = canonicalUrl(i, seed, nHosts),
       warc_ts = warcTsFor(i, seed),
@@ -155,9 +160,10 @@ object SyntheticCorpus {
     * any scale, deterministic, partition-count independent. */
   def pages(spark: SparkSession, nUrls: Long, seed: Long = 42L,
             nHosts: Int = 100, fanout: Int = 4,
-            numPartitions: Option[Int] = None): Dataset[Page] = {
+            numPartitions: Option[Int] = None, fillScale: Int = 1): Dataset[Page] = {
     import spark.implicits._
     val parts = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
-    spark.range(0L, nUrls, 1L, parts).map(i => pageFor(i, seed, nUrls, nHosts, fanout))
+    spark.range(0L, nUrls, 1L, parts)
+      .map(i => pageFor(i, seed, nUrls, nHosts, fanout, fillScale))
   }
 }

@@ -126,7 +126,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         writeEntry(e)
         out += res.lineage
       }
-      res.popped.unpersist()
+      res.unpersistCached()
       r += 1
     }
     out.result()
