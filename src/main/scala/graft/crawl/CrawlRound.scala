@@ -58,10 +58,16 @@ object CrawlRound {
     // without a persist each use re-runs both pop windows over the full
     // frontier — the largest table in the round.
     val remaining = remaining0.persist(StorageLevel.MEMORY_AND_DISK)
-    val nPopped = timed("pop")(popped.count())
 
+    // One job yields both counters: the fetch join is 1:1 per popped url
+    // (corpus urls are unique), so fetched rows = popped rows. Counting
+    // popped separately would be a second full pass.
     val fetched = fetcher.fetch(popped).persist(StorageLevel.MEMORY_AND_DISK)
-    val nFetched = timed("fetch")(fetched.filter(col("status") === 200).count())
+    val (nPopped, nFetched) = timed("fetch") {
+      val r = fetched.agg(
+        count(lit(1)), count_if(col("status") === 200)).head()
+      (r.getLong(0), r.getLong(1))
+    }
 
     // X1/X2 — the extraction expressions; `html` never survives this select
     // (column pruning: the widest column dies as early as possible).

@@ -19,6 +19,20 @@ object Crawler {
       state: CrawlRound.State,
       lineages: Seq[RoundLineage])
 
+  /** Eager-checkpoint the three state tables CONCURRENTLY — they are
+    * independent jobs, and running them serially adds three job-launch
+    * latencies to every round (pure driver-side fixed cost that would never
+    * amortize, at any cluster size). */
+  def checkpointState(s: CrawlRound.State): CrawlRound.State = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(s.frontier, s.seenExact, s.bloomShards)
+      .map(df => Future(df.localCheckpoint(true)))
+    val Seq(f, se, bs) = Await.result(Future.sequence(fs), Duration.Inf)
+    CrawlRound.State(f, se, bs)
+  }
+
   def emptySeen(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.emptyDataset[Long].toDF("urlHash")
@@ -60,10 +74,7 @@ object Crawler {
             col("url"), col("urlHash"), col("priority"), col("depth"))
           .localCheckpoint(true)
         lineages += out.lineage
-        state = CrawlRound.State(
-          frontier = out.state.frontier.localCheckpoint(true),
-          seenExact = out.state.seenExact.localCheckpoint(true),
-          bloomShards = out.state.bloomShards.localCheckpoint(true))
+        state = Crawler.checkpointState(out.state)
         out.unpersistCached()
       }
       r += 1

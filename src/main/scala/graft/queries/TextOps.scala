@@ -391,8 +391,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The batched mapPartitions decode pipeline (graft.multimodal): binary
+    * payloads → typed features via a pluggable decoder (deterministic stub
+    * here — no codecs in this container). Engine-specific → rows-only. */
+  private val multimodalDecode = Q.noOracle("multimodal_decode") { (s, d) =>
+    import graft.multimodal.Multimodal
+    Multimodal.decode(
+      Multimodal.mediaFromDocuments(documents(s, d)),
+      new Multimodal.StubDecoder())
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
+        col("height"), col("channels"), col("sample_rate"), col("n_frames"),
+        col("frame_offsets"), col("embedding"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
-    extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta)
+    extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
+    multimodalDecode)
 }
