@@ -15,23 +15,90 @@ trait Fetcher extends Serializable {
   def fetch(popped: DataFrame): DataFrame
 }
 
-/** Resolves fetches by equi-joining the popped slice against a page table
-  * in the input_hint shape (url, warc_ts, html, text, lang). Misses are
-  * status 404 with empty html. fetchTs := warc_ts — a pure function of the
-  * data, which keeps whole runs byte-deterministic (a wall-clock fetchTs
-  * would break resume-exactness golden tests).
+/** Resolves fetches against a page table in the input_hint shape
+  * (url, warc_ts, html, text, lang). Misses are status 404 with null html.
+  * fetchTs := warc_ts — a pure function of the data, which keeps whole runs
+  * byte-deterministic (a wall-clock fetchTs would break resume-exactness
+  * golden tests).
   *
-  * Scale: this is a plain equi-shuffle on url — at 10^10 pages it's the
-  * same join Spark would run for any fact⋈fact; AQE handles skewed hosts
-  * because the join key is the full url, not the host. */
+  * Plan shape (the scale-critical decision): the popped slice is bounded by
+  * the politeness budgets (Σ per-host budget per round) and is orders of
+  * magnitude smaller than the page store, so the store is STREAMED and the
+  * popped set is BROADCAST — `corpus ⋈ broadcast(popped)` — exactly the
+  * semi-join-pushdown shape. A `popped ⋈ corpus` shuffle join would push
+  * the entire multi-TB page store (html bytes included) through the
+  * exchange every round and be disk-bound at any core count. The 404 path
+  * is a separate left-anti against a column-pruned scan (url only), so the
+  * wide columns are read exactly once. If a round ever pops more than fits
+  * in a broadcast (~10^7+ entries), swap the hint for a bucketed join on a
+  * url-bucketed store — one line here, no pipeline change. */
 class CorpusFetcher(corpus: () => DataFrame) extends Fetcher {
-  override def fetch(popped: DataFrame): DataFrame =
-    popped.join(
-      corpus().select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang")),
-      Seq("url"), "left")
-      .withColumn("status", when(col("html").isNotNull, 200).otherwise(404))
+  override def fetch(popped: DataFrame): DataFrame = {
+    val hits = corpus()
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .join(broadcast(popped), Seq("url"), "inner")
+      .withColumn("status", lit(200))
       .withColumn("fetchTs", col("warc_ts"))
       .drop("warc_ts")
+    // Misses: anti join against the url column ONLY (parquet prunes the
+    // scan to ~the key width; no html/text bytes are touched).
+    val misses = popped
+      .join(corpus().select("url"), Seq("url"), "left_anti")
+      .withColumn("status", lit(404))
+      .withColumn("fetchTs", lit(null).cast("timestamp"))
+      .withColumn("html", lit(null).cast("binary"))
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+    hits.unionByName(misses.select(hits.columns.map(col).toSeq: _*))
+  }
+}
+
+/** The popped-slice row shape handed to fetchers (frontier columns +
+  * popRank from the pop window). */
+case class PoppedEntry(url: String, urlHash: Long, host: String,
+                       priority: Double, depth: Int, round: Int, popRank: Int)
+
+/** A fetched page: popped columns + fetch outcome. */
+case class FetchedPage(url: String, urlHash: Long, host: String,
+                       priority: Double, depth: Int, round: Int, popRank: Int,
+                       status: Int, fetchTs: java.sql.Timestamp,
+                       html: Array[Byte], text: String, lang: String)
+
+/** Deterministic synthetic page SERVICE: "fetches" by recomputing the page
+  * from the url itself (the corpus generator's pure per-index function) —
+  * the sandbox stand-in for network HTTP whose cost is, like real fetch,
+  * ∝ pages fetched and embarrassingly parallel (no scan of a page store,
+  * no shuffle, no broadcast). Serves byte-for-byte the same pages as the
+  * corpus table written by `SyntheticCorpus.pages` with the same
+  * parameters — pinned by FetcherEquivalenceSpec — so golden results are
+  * fetcher-independent. URLs outside the synthetic space are 404. */
+class GenerativeFetcher(nUrls: Long, seed: Long, nHosts: Int, fanout: Int,
+                        fillScale: Int = 1) extends Fetcher {
+  import graft.fixtures.SyntheticCorpus
+
+  private val Idx = """^https://[^/]+/(?:private/)?filings/([0-9]+)/10-K\.htm$""".r
+
+  override def fetch(popped: DataFrame): DataFrame = {
+    val spark = popped.sparkSession
+    import spark.implicits._
+    val (n, s, h, f, fs) = (nUrls, seed, nHosts, fanout, fillScale)
+    popped.as[PoppedEntry].map { e =>
+      val page = e.url match {
+        case Idx(iStr) =>
+          val i = iStr.toLong
+          if (i < n && SyntheticCorpus.canonicalUrl(i, s, h) == e.url)
+            Some(SyntheticCorpus.pageFor(i, s, n, h, f, fs))
+          else None
+        case _ => None
+      }
+      page match {
+        case Some(p) => FetchedPage(e.url, e.urlHash, e.host, e.priority,
+          e.depth, e.round, e.popRank, 200, p.warc_ts, p.html, p.text, p.lang)
+        case None => FetchedPage(e.url, e.urlHash, e.host, e.priority,
+          e.depth, e.round, e.popRank, 404, null, null, null, null)
+      }
+    }.toDF()
+  }
 }
 
 /** Real-HTTP fetcher skeleton (mapPartitions + bounded thread pool per

@@ -123,6 +123,26 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** J1b — fact ⋈ two broadcast dims (part, supplier): the classic star
+    * join. Both dims broadcast explicitly; the fact never shuffles for the
+    * join, only for the final aggregation. */
+  private val joinMultiway = Q(
+    "join_multiway",
+    """SELECT p.p_brand, s.s_nationkey AS nat,
+      |       count(*) AS n, CAST(sum(l.l_quantity) AS BIGINT) AS qty
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY p.p_brand, s.s_nationkey
+      |ORDER BY p_brand, nat""".stripMargin) { (s, d) =>
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_nationkey").as("nat"))
+      .agg(count(lit(1)).as("n"), sum("l_quantity").cast("long").as("qty"))
+      .orderBy("p_brand", "nat")
+  }
+
   /** J2 — fact⋈fact equi join; Catalyst/AQE picks SMJ or SHJ. Sum rounded to
     * integer dollars: cross-engine double-summation order differs by ~1e-5
     * at this magnitude, so 0 dp keeps the hash compare stable. */
@@ -503,7 +523,8 @@ object Relational {
     scanParquet, filterPushdown, projectPrune,
     aggSegmentation, aggCountByKey, aggDistinct, aggApproxDistinct,
     aggRollup, aggMaxBy,
-    joinBroadcast, joinSortMerge, joinAnti, joinSemi, joinAsofLatest, joinTheta,
+    joinBroadcast, joinMultiway, joinSortMerge, joinAnti, joinSemi,
+    joinAsofLatest, joinTheta,
     windowRankPerKey, windowRunningSum, windowMovingAvg, windowSessionize,
     windowTumbling, sortGlobal, topkLimit,
     setopUnion, setopExcept,
