@@ -115,12 +115,21 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         fetcher, r, cfg)
       if (res.lineage.popped == 0) { continue = false }
       else {
-        val e = RoundEntry(r,
-          frontierV = frontier.commit(res.state.frontier),
-          seenV = seen.commit(res.state.seenExact),
-          shardsV = shards.commit(res.state.bloomShards),
-          pagesV = pages.commit(res.pages),
-          lineageV = lineage.commit(lineageDf(res, r)))
+        // The five table commits are independent single-writer snapshots —
+        // run them concurrently (serial parquet-write latencies never
+        // amortize). The round-log entry BELOW remains the linearization
+        // point: until it swaps, none of these versions are referenced.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val Seq(fv, sv, shv, pv, lv) = Await.result(Future.sequence(Seq(
+          Future(frontier.commit(res.state.frontier)),
+          Future(seen.commit(res.state.seenExact)),
+          Future(shards.commit(res.state.bloomShards)),
+          Future(pages.commit(res.pages)),
+          Future(lineage.commit(lineageDf(res, r))))), Duration.Inf)
+        val e = RoundEntry(r, frontierV = fv, seenV = sv, shardsV = shv,
+          pagesV = pv, lineageV = lv)
         if (r == failBeforeLogAt)
           throw new RuntimeException(s"injected kill before round-$r log commit")
         writeEntry(e)
