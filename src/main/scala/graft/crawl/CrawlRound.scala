@@ -100,7 +100,8 @@ object CrawlRound {
     // remaining ∪ popped and popped ⊆ seenExact2 (already excluded by
     // filterNew), so the result is identical — but the input frontier needs
     // no recomputation.
-    val newEntries = Seen.filterNew(allowed, seenExact2, bloomShards2, cfg.nShards)
+    val newEntries = Seen.filterNew(allowed, seenExact2, bloomShards2,
+      cfg.nShards, cfg.broadcastBloomProbe)
       .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")

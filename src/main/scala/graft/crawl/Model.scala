@@ -56,4 +56,8 @@ case class CrawlConfig(
     saltBuckets: Int = 16,
     /** Children enter the frontier at basePriority / 2^depth. */
     priorityHalving: Boolean = true,
-    maxDepth: Int = 100)
+    maxDepth: Int = 100,
+    /** true: broadcast all bloom shards (small-shard scale). false: the
+      * 10^10 path — shuffle-hash-join the shard table on shardId so each
+      * shard's bits travel once to its reducer (Seen.filterNew §4.10). */
+    broadcastBloomProbe: Boolean = true)

@@ -37,12 +37,28 @@ object Seen {
         count(lit(1)).as("numKeys"))
 
   /** Candidates → the definitely-new subset, using bloom-then-exact.
-    * `candidates` must carry `urlHash`; all its columns survive. */
+    * `candidates` must carry `urlHash`; all its columns survive.
+    *
+    * Probe-side strategy (`broadcastProbe`):
+    *  - `true` (default, sandbox/small-shard scale): broadcast the whole
+    *    shard table — zero shuffle on the candidate side, probe is
+    *    map-side inside codegen.
+    *  - `false` (the 10^10 path, §4.10): at full scale the shard table is
+    *    ~12 GB of bits — broadcasting it to every executor is the OOM.
+    *    Instead, shuffle-hash-join on shardId: each shard's bits travel
+    *    ONCE to the reducer holding its candidates (the per-reducer build
+    *    map holds only that reducer's shards), and the probe + drop(bits)
+    *    fuse into the join stage, so the bits are never materialized per
+    *    candidate row. Parallelism = nShards, which at that scale is
+    *    ~10^3 shards of 10^7–10^8 keys — comfortably wide. */
   def filterNew(candidates: DataFrame, seenExact: DataFrame,
-                bloomShards: DataFrame, nShards: Int): DataFrame = {
-    val probed = candidates
-      .withColumn("shardId", shardFor(col("urlHash"), nShards))
-      .join(broadcast(bloomShards), Seq("shardId"), "left")
+                bloomShards: DataFrame, nShards: Int,
+                broadcastProbe: Boolean = true): DataFrame = {
+    val withShard = candidates.withColumn("shardId", shardFor(col("urlHash"), nShards))
+    val joined =
+      if (broadcastProbe) withShard.join(broadcast(bloomShards), Seq("shardId"), "left")
+      else withShard.join(bloomShards.hint("shuffle_hash"), Seq("shardId"), "left")
+    val probed = joined
       .withColumn("maybe_seen",
         coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
       .drop("bits", "numKeys", "shardId")

@@ -90,4 +90,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // ...and the exact layer is an anti join fed by the maybe-seen remainder.
     assert(p.contains("LeftAnti"), p.take(1500))
   }
+
+  test("seen filter: the 10^10 shard-probe path shuffles, matches broadcast results") {
+    import spark.implicits._
+    val candidates = spark.range(200)
+      .select(col("id").as("urlHash"), concat(lit("u"), col("id")).as("url"))
+    val seen = spark.range(0, 120).select(col("id").as("urlHash"))
+    val shards = graft.crawl.Seen.buildBloomShards(seen, 4, 1024)
+    val a = graft.crawl.Seen.filterNew(candidates, seen, shards, 4, broadcastProbe = true)
+      .collect().map(_.toString).sorted.toSeq
+    val big = graft.crawl.Seen.filterNew(candidates, seen, shards, 4, broadcastProbe = false)
+    val b = big.collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.size == 80)
+    val p = big.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+  }
 }
