@@ -38,6 +38,38 @@ object ExtractionSpec {
   val sectionGroup: Int = root.get("section").get("group").asInt()
   val sectionNoMatch: String = root.get("section").get("noMatch").asText()
 
+  /** Fast path when the section pattern is exactly `LIT1(.*?)LIT2` with
+    * DOTALL and group 1: the first regex match is then BY CONSTRUCTION
+    * `indexOf(LIT1)` / `indexOf(LIT2, afterLIT1)` — if LIT2 never occurs
+    * after the first LIT1 it occurs after no later LIT1 either, so regex
+    * backtracking cannot produce a match the scan misses. indexOf avoids
+    * the O(text·LIT2) lazy-dotall probe per character. Byte-equality with
+    * the pure-regex oracle is enforced by the extraction golden tests. */
+  val sectionLiterals: Option[(String, String)] = {
+    val raw = root.get("section").get("pattern").asText()
+    val flagsOk = {
+      var names = List.empty[String]
+      root.get("section").get("flags").forEach(f => names ::= f.asText())
+      names == List("DOTALL")
+    }
+    val parts = raw.split(java.util.regex.Pattern.quote("(.*?)"), -1)
+    def unescapeLiteral(s: String): Option[String] = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' if i + 1 < s.length => b.append(s.charAt(i + 1)); i += 2
+          case c if ".[](){}*+?|^$\\".indexOf(c) >= 0 => return None
+          case c => b.append(c); i += 1
+        }
+      }
+      Some(b.result())
+    }
+    if (flagsOk && sectionGroup == 1 && parts.length == 2)
+      for (a <- unescapeLiteral(parts(0)); b <- unescapeLiteral(parts(1)))
+        yield (a, b)
+    else None
+  }
+
   val metrics: Seq[Metric] = {
     val b = Seq.newBuilder[Metric]
     root.get("metrics").forEach { m =>
@@ -54,13 +86,23 @@ object Extraction {
   /** First match of the section pattern; no match → pinned noMatch value
     * (empty string — identical to regexp_extract semantics in Spark AND
     * DuckDB, which the oracle SQL relies on). */
-  def extractItem(text: String): String = {
-    val m = ExtractionSpec.sectionPattern.matcher(text)
-    if (m.find()) {
-      val g = m.group(ExtractionSpec.sectionGroup)
-      if (g == null) ExtractionSpec.sectionNoMatch else g
-    } else ExtractionSpec.sectionNoMatch
-  }
+  def extractItem(text: String): String =
+    ExtractionSpec.sectionLiterals match {
+      case Some((lit1, lit2)) =>
+        val s = text.indexOf(lit1)
+        if (s < 0) ExtractionSpec.sectionNoMatch
+        else {
+          val from = s + lit1.length
+          val e = text.indexOf(lit2, from)
+          if (e < 0) ExtractionSpec.sectionNoMatch else text.substring(from, e)
+        }
+      case None =>
+        val m = ExtractionSpec.sectionPattern.matcher(text)
+        if (m.find()) {
+          val g = m.group(ExtractionSpec.sectionGroup)
+          if (g == null) ExtractionSpec.sectionNoMatch else g
+        } else ExtractionSpec.sectionNoMatch
+    }
 
   def extractItemUTF8(u: UTF8String): UTF8String =
     UTF8String.fromString(extractItem(u.toString))
