@@ -30,41 +30,52 @@ object Bench {
     try spark.range(100000).selectExpr("sum(id) s", "count(*) c")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // Per-query outcome is recorded honestly: a failed query must never
+    // read as a (suspiciously fast) passing one. Failures keep their wall
+    // time in `queries` but are listed in `errors` and excluded from
+    // nothing — the reader decides.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink evaluates EVERY column of the query (a count() would let
       // Catalyst prune the operator under test down to a bare scan).
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":\"$e\"" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     spark.stop()
 
     // Headline-metric section. Preference order:
-    //  1. GRAFT_BENCH_CRAWL=1 → run the two-level protocol LIVE here
-    //     (takes ~1 h at the official 10^6-URL / ~24 KB-page size — size
-    //     down with GRAFT_BENCH_CRAWL_URLS for a quick live check);
+    //  1. GRAFT_BENCH_CRAWL=1 → run the two-level protocol LIVE here at the
+    //     SAME levels and size as the official protocol (N=1 → 4N=4 cores,
+    //     3·10^5 URLs, ~24 KB pages — see BASELINE.md), so running the
+    //     shipped verification path reproduces the shipped number. Override
+    //     with GRAFT_BENCH_CRAWL_{N,URLS,ROUNDS,REPS} for quick checks.
     //  2. otherwise echo the committed official protocol result
-    //     (BENCH/BASELINE.json, produced by `runMain graft.CrawlBench` at
-    //     8 then 32 cores — protocol + raw logs documented in BASELINE.md),
-    //     labeled with its source so the provenance is explicit.
+    //     (BENCH/BASELINE.json, produced by `runMain graft.CrawlBench`),
+    //     tagged "source":"stored" so no parser mistakes it for a
+    //     measurement taken in this run.
     val crawlJson =
       if (sys.env.get("GRAFT_BENCH_CRAWL").contains("1")) {
-        val nUrls = sys.env.getOrElse("GRAFT_BENCH_CRAWL_URLS", "1000000").toLong
+        val nLo = sys.env.getOrElse("GRAFT_BENCH_CRAWL_N", "1").toInt
+        val nUrls = sys.env.getOrElse("GRAFT_BENCH_CRAWL_URLS", "300000").toLong
         val rounds = sys.env.getOrElse("GRAFT_BENCH_CRAWL_ROUNDS", "4").toInt
         val reps = sys.env.getOrElse("GRAFT_BENCH_CRAWL_REPS", "3").toInt
         try {
-          val lo = CrawlBench.runLevel(8, nUrls, rounds, reps)
-          val hi = CrawlBench.runLevel(32, nUrls, rounds, reps)
+          val lo = CrawlBench.runLevel(nLo, nUrls, rounds, reps)
+          val hi = CrawlBench.runLevel(4 * nLo, nUrls, rounds, reps)
           val eff = hi.urlsPerSec / (4.0 * lo.urlsPerSec)
-          f""","crawl":{"source":"live","urls_per_sec_8":${lo.urlsPerSec}%.1f,""" +
-            f""""urls_per_sec_32":${hi.urlsPerSec}%.1f,""" +
-            f""""scaling_efficiency":$eff%.3f,"nUrls":$nUrls,"rounds":$rounds,"reps":$reps}"""
+          f""","crawl":{"source":"live","n_cores":$nLo,"n4_cores":${4 * nLo},""" +
+            f""""urls_per_sec_n":${lo.urlsPerSec}%.1f,"urls_per_sec_4n":${hi.urlsPerSec}%.1f,""" +
+            f""""scaling_efficiency":$eff%.3f,"nUrls":$nUrls,"rounds":$rounds,"reps":$reps,""" +
+            """"caveat":"both levels in ONE JVM; the official number runs one JVM per level"}"""
         } catch {
-          case e: Throwable => s""","crawl":{"error":"${e.getClass.getSimpleName}"}"""
+          case e: Throwable => s""","crawl":{"source":"live","error":"${e.getClass.getSimpleName}"}"""
         }
       } else {
         val official = Seq("BENCH/BASELINE.json", "/root/repo/BENCH/BASELINE.json")
@@ -73,10 +84,10 @@ object Bench {
         if (java.nio.file.Files.exists(official)) {
           val body = java.nio.file.Files.readString(official).trim
             .stripPrefix("{").stripSuffix("}")
-          s""","crawl":{"source":"BENCH/BASELINE.json (official two-level runMain graft.CrawlBench protocol; see BASELINE.md)",$body}"""
+          s""","crawl":{"source":"stored","stored_from":"BENCH/BASELINE.json (runMain graft.CrawlBench, one JVM per level; protocol in BASELINE.md — NOT measured in this run)",$body}"""
         } else ""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$crawlJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$crawlJson}""")
   }
 }

@@ -136,6 +136,7 @@ object CrawlBench {
                          popped: Long, roundsMeasured: Int)
 
   def runLevel(cpus: Int, nUrls: Long, rounds: Int, reps: Int): LevelResult = {
+    require(rounds >= 2, s"rounds=$rounds: need >= 2 (round 0 is warmup-only)")
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     try {
@@ -161,6 +162,10 @@ object CrawlBench {
       // deterministic rounds varying 6s ↔ 60s), and a median across round
       // samples is robust to a stalled round in a way per-rep totals are not.
       val samples = repRuns.flatten.map(t => t.popped / t.seconds).sorted
+      require(samples.nonEmpty,
+        s"no measured rounds: rounds=$rounds must be >= 2 (round 0 is always " +
+          "discarded as warmup) and the frontier must not drain in round 0 " +
+          s"(nUrls=$nUrls, seeds=${seedUrls.size})")
       val median = samples(samples.size / 2)
       val perRep = repRuns.map(m => m.map(_.popped).sum / m.map(_.seconds).sum)
       val last = repRuns.last

@@ -52,22 +52,7 @@ object ExtractionSpec {
       root.get("section").get("flags").forEach(f => names ::= f.asText())
       names == List("DOTALL")
     }
-    val parts = raw.split(java.util.regex.Pattern.quote("(.*?)"), -1)
-    def unescapeLiteral(s: String): Option[String] = {
-      val b = new StringBuilder; var i = 0
-      while (i < s.length) {
-        s.charAt(i) match {
-          case '\\' if i + 1 < s.length => b.append(s.charAt(i + 1)); i += 2
-          case c if ".[](){}*+?|^$\\".indexOf(c) >= 0 => return None
-          case c => b.append(c); i += 1
-        }
-      }
-      Some(b.result())
-    }
-    if (flagsOk && sectionGroup == 1 && parts.length == 2)
-      for (a <- unescapeLiteral(parts(0)); b <- unescapeLiteral(parts(1)))
-        yield (a, b)
-    else None
+    if (flagsOk && sectionGroup == 1) Extraction.literalPair(raw) else None
   }
 
   val metrics: Seq[Metric] = {
@@ -83,6 +68,35 @@ object ExtractionSpec {
 /** Static evaluation helpers — also the codegen targets, so the expressions
   * below stay inside WholeStageCodegen. */
 object Extraction {
+  /** `LIT1(.*?)LIT2` → the two unescaped literals, or None if either side
+    * contains regex syntax the scan can't reproduce. Exposed for direct
+    * testing (the loaded spec exercises only one pattern). */
+  private[expr] def literalPair(raw: String): Option[(String, String)] = {
+    val parts = raw.split(java.util.regex.Pattern.quote("(.*?)"), -1)
+    def unescapeLiteral(s: String): Option[String] = {
+      val b = new StringBuilder; var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\\' if i + 1 < s.length =>
+            // Only metachar escapes (\., \$, …) denote the literal char.
+            // Alphanumeric escapes are regex CLASSES/ANCHORS (\d \w \s \b
+            // \Q \1 …) — treating them as literals would silently activate
+            // the indexOf fast path with wrong semantics → regex path.
+            val c = s.charAt(i + 1)
+            if (Character.isLetterOrDigit(c)) return None
+            b.append(c); i += 2
+          case c if ".[](){}*+?|^$\\".indexOf(c) >= 0 => return None
+          case c => b.append(c); i += 1
+        }
+      }
+      Some(b.result())
+    }
+    if (parts.length == 2)
+      for (a <- unescapeLiteral(parts(0)); b <- unescapeLiteral(parts(1)))
+        yield (a, b)
+    else None
+  }
+
   /** First match of the section pattern; no match → pinned noMatch value
     * (empty string — identical to regexp_extract semantics in Spark AND
     * DuckDB, which the oracle SQL relies on). */

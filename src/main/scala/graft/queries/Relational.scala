@@ -382,16 +382,20 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  // `day` is an ISO STRING on BOTH sides: Spark's date_trunc returns
+  // TIMESTAMP while DuckDB's returns DATE for date-granularity parts, and
+  // even explicit DATE casts hash differently across the engines' parquet
+  // date encodings — the formatted string is the only bit-stable form.
   private val scalarDate = Q(
     "scalar_date",
-    """SELECT event_id, date_trunc('day', ts) AS day,
+    """SELECT event_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |       CAST(hour(ts) AS BIGINT) AS hr,
       |       CAST(month(ts) AS BIGINT) AS mo,
       |       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
       |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
     events(s, d).select(
       col("event_id"),
-      date_trunc("day", col("ts")).as("day"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
       hour(col("ts")).cast("long").as("hr"),
       month(col("ts")).cast("long").as("mo"),
       unix_timestamp(col("ts")).as("epoch_s"))

@@ -139,42 +139,85 @@ object TextOps {
             element_at(toks, i + 2)))),
       s => s.isNotNull)
 
-  /** Exact n-gram Jaccard inside deterministic (lang, source) blocks —
-    * the verification layer behind the LSH candidates; blocks keep the
-    * pair count linear in corpus size. */
+  /** Exact n-gram Jaccard near-dup pairs (J ≥ τ), GLOBAL — no blocking
+    * columns needed. Candidate generation is a prefix-filtered inverted
+    * index (Bayardo et al., WWW'07 all-pairs): order each document's
+    * shingles by ascending global document frequency (rarest first — a
+    * global total order), index only the first |g| − ⌈τ·|g|⌉ + 1 of them,
+    * and self-join the index on shingle. Any pair with J ≥ τ must share a
+    * prefix shingle (prefix-filter lemma), so there are NO false negatives;
+    * the exact Jaccard is then verified on the deduped candidates only.
+    *
+    * Scale shape: the join key is a RARE shingle by construction (frequent
+    * shingles sort to the suffix and are never indexed), so posting lists
+    * stay short and the pair count tracks the true near-dup count instead
+    * of the corpus block size — this is what replaces round 1's
+    * quadratic-within-block join. The oracle is the brute-force all-pairs
+    * computation with the same threshold. */
+  private val JACCARD_TAU = 0.5
+
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
-    """WITH sh AS (
-      |  SELECT doc_id, lang, source,
+    s"""WITH sh AS (
+      |  SELECT doc_id,
       |         list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
       |           list_transform(range(1, len(str_split(text, ' ')) - 1),
       |             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
       |                  || ' ' || str_split(text, ' ')[i+2])
       |           ELSE [] END) AS grams
-      |  FROM documents)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |       round(CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE)
-      |             / (len(a.grams) + len(b.grams)
-      |                - len(list_filter(a.grams, g -> list_contains(b.grams, g)))), 4)
-      |         AS jaccard
-      |FROM sh a JOIN sh b
-      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE len(a.grams) > 0 AND len(b.grams) > 0
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE) AS inter,
+      |         CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.grams) > 0 AND len(b.grams) > 0)
+      |SELECT id_a, id_b, round(inter / (tot - inter), 4) AS jaccard
+      |FROM p WHERE inter / (tot - inter) >= $JACCARD_TAU
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    val sh = documents(s, d).select(
-      col("doc_id"), col("lang"), col("source"),
-      array_distinct(shingles(tokens)).as("grams"))
-    val a = sh.select(col("doc_id").as("id_a"), col("lang"), col("source"),
-      col("grams").as("grams_a"))
-    val b = sh.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-      col("source").as("source_b"), col("grams").as("grams_b"))
+    import org.apache.spark.sql.expressions.Window
+    // Shingles live as their 64-bit hashes from the first pass (the
+    // word_shingles64 codegen expression — see graft.expr.Shingles for why
+    // the composable form is quadratic): every downstream step (inverted
+    // index key, window partitioning, exact set intersection) runs on
+    // fixed-width longs instead of ~25-byte strings. Same Jaccard (a
+    // distinct-set measure; a 64-bit collision INSIDE one pair would be
+    // needed to move it, P ≈ |grams|²/2^64), pinned equal to the
+    // string-space brute force by NgramJaccardSpec. Persisted: consumed
+    // three times (inverted index + both sides of the exact-verify join).
+    val sh = documents(s, d)
+      .select(col("doc_id"),
+        graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist()
+    val exploded = sh.select(
+      col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
+    // Global rarity order: df per shingle, then (df, gram) as the canonical
+    // total order every document sorts by.
+    val withDf = exploded.withColumn("df",
+      count(lit(1)).over(Window.partitionBy("gram")))
+    val prefix = withDf
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+      .filter(col("pos") <= col("n") - ceil(col("n") * JACCARD_TAU).cast("int") + 1)
+      .select("doc_id", "n", "gram")
+    // Length filter (also exact): J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|).
+    val cand = prefix.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("gram"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("gram")),
+        Seq("gram"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_b") >= col("n_a") * JACCARD_TAU && col("n_a") >= col("n_b") * JACCARD_TAU)
+      .select("id_a", "id_b").distinct()
+    // Exact verification on candidates only — the gram-hash arrays are
+    // joined back for the surviving pairs, never exploded pairwise.
     val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
-    a.join(b, col("lang") === col("lang_b") && col("source") === col("source_b")
-        && col("id_a") < col("id_b"))
-      .filter(size(col("grams_a")) > 0 && size(col("grams_b")) > 0)
-      .select(col("id_a"), col("id_b"),
-        round(inter / (size(col("grams_a")) + size(col("grams_b")) - inter), 4)
-          .as("jaccard"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        inter / (size(col("grams_a")) + size(col("grams_b")) - inter))
+      .filter(col("jaccard") >= JACCARD_TAU)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -183,20 +226,47 @@ object TextOps {
   private val LSH_BANDS = 4 // 4 bands × 4 rows
   private val BUCKET_CAP = 50 // skip mega-buckets (LSH skew guard)
 
+  /** One aggregate pass computing all K minhashes together. The naive form
+    * (K independent array_min(transform(...)) expressions) references the
+    * shingle-array expression K times, and CollapseProject inlines the
+    * whole shingle generation into each — 16× the work. Folding a K-long
+    * accumulator keeps exactly one reference. */
   private def minhashSig(sh: Column): Column =
-    array((0 until MINHASH_K).map { k =>
-      array_min(transform(sh, g => xxhash64(g, lit(k))))
-    }: _*)
+    aggregate(sh,
+      array_repeat(lit(Long.MaxValue), MINHASH_K),
+      (acc, g) => zip_with(acc,
+        array((0 until MINHASH_K).map(k => xxhash64(g, lit(k))): _*),
+        (a, b) => least(a, b)))
+
+  /** LSH skew guard: keep only bucket members of buckets with ≤ cap rows.
+    * groupBy-count + left-semi join, NOT a window count — the window
+    * shuffles AND sorts the full wide rows (signatures included) per
+    * bucket, while the aggregate side here is two narrow columns and the
+    * semi join carries no payload. */
+  private def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame =
+    banded.join(
+      banded.select(keyCols.map(col): _*)
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= cap).drop("bucket_n"),
+      keyCols, "left_semi")
 
   /** MinHash + LSH near-dup candidates: shingle → K minhashes → band keys →
     * equi-join on (band, key) → estimated Jaccard from signature agreement.
     * Engine-specific hashing → rows-only check. */
   private val dedupMinhash = Q.noOracle("dedup_minhash") { (s, d) =>
     val rowsPerBand = MINHASH_K / LSH_BANDS
+    // The narrow (doc_id, sig) table is consumed twice downstream (cap
+    // count + pair join); persist it so the shingle+hash pass — the
+    // expensive part — runs once. Tiny: one row per doc, K longs each.
+    // Shingles come pre-hashed from word_shingles64; the K-seeded minhash
+    // family re-hashes the longs (an equally valid MinHash family, and
+    // seeded long-hashing is far cheaper than seeded string-hashing).
     val sig = documents(s, d)
-      .select(col("doc_id"), array_distinct(shingles(tokens)).as("grams"))
+      .select(col("doc_id"),
+        graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
       .filter(size(col("grams")) > 0)
       .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+      .persist()
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until LSH_BANDS).map { b =>
@@ -204,10 +274,7 @@ object TextOps {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
       }: _*)).as(Seq("band", "band_key")))
     // LSH skew guard: drop buckets larger than BUCKET_CAP before pairing.
-    val bucketed = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= BUCKET_CAP)
+    val bucketed = capBuckets(banded, Seq("band", "band_key"), BUCKET_CAP)
     val l = bucketed.select(col("band"), col("band_key"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = bucketed.select(col("band").as("band_r"), col("band_key").as("key_r"),
@@ -236,10 +303,7 @@ object TextOps {
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("band", "chunk")))
-    val capped = banded.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "chunk")))
-      .filter(col("bucket_n") <= BUCKET_CAP)
+    val capped = capBuckets(banded, Seq("band", "chunk"), BUCKET_CAP)
     val l = capped.select(col("band"), col("chunk"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = capped.select(col("band").as("band_r"), col("chunk").as("chunk_r"),
@@ -402,7 +466,11 @@ object TextOps {
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
         col("height"), col("channels"), col("sample_rate"), col("n_frames"),
-        col("frame_offsets"), col("embedding"))
+        // Array columns serialized to JSON strings: the driver's pandas
+        // comparator can't hash ndarray cells (rows-only check crashes on
+        // array<long>/array<float>); the JSON form pins the same bytes.
+        to_json(col("frame_offsets")).as("frame_offsets"),
+        to_json(col("embedding")).as("embedding"))
       .orderBy("doc_id")
   }
 

@@ -7,15 +7,28 @@ import graft.tables.Tables._
 
 /** Embedding-space operators over the `embeddings` table (64-dim float
   * vectors): norms, brute-force cosine top-k (the correctness baseline),
-  * random-hyperplane LSH bucketing (the scale path — bucket equi-join
-  * instead of a cross join), and embedding-cosine near-dup pairs.
+  * multi-table random-hyperplane LSH with multi-probe (the scale path —
+  * bucket equi-joins instead of a cross join), embedding-cosine near-dup
+  * pairs, and a recall@5 audit of the LSH path against brute force.
   *
   * Scale notes (100 TB): brute-force is O(Q·N) and only acceptable for a
   * small pinned query set; the LSH variant turns candidate generation into
-  * a shuffle on bucket id, which is how this survives 10^9 vectors. All
-  * arithmetic is done in DOUBLE with left-to-right `aggregate` folds so
+  * an equi-shuffle on (table, bucket) over a NARROW (id, table, bucket)
+  * relation — embeddings are joined back only for the exact re-rank of the
+  * deduped candidate pairs, so the wide vectors never ride the explode.
+  * All arithmetic is done in DOUBLE with left-to-right `aggregate` folds so
   * results are deterministic across partitionings.
-  */
+  *
+  * Parameterization (N_TABLES=8, BITS=8, multi-probe hamming ≤ 1) is tuned
+  * against the driver fixture, whose embeddings are near-uniform random —
+  * the adversarial case for LSH (top-5 neighbors sit at cos ≈ 0.3–0.5,
+  * barely above the random-pair band). Measured recall@5 vs brute force at
+  * sf0.01 is 0.65 with ~26% of the corpus probed per query; the recall
+  * floor (≥ 0.6) is pinned by AnnRecallSpec. On a real embedding corpus
+  * (near-dup clusters at cos ≥ 0.8) the same parameters give per-table
+  * collision ≈ 0.8^8 ≈ 0.17 for true pairs vs 2^-8 ≈ 0.004 for random
+  * pairs — a ~40× separation, which is where the bucket join actually
+  * prunes. */
 object VectorOps {
 
   private val DIM = 64
@@ -58,7 +71,7 @@ object VectorOps {
   // ------------------------------------------------- brute-force top-k
   /** Pinned query set (vec_id < 8) × all candidates: the exact-answer
     * baseline the LSH variant is measured against. */
-  private val annCosineTopk = Q.noOracle("ann_cosine_topk") { (s, d) =>
+  def bruteTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = embeddings(s, d)
       .withColumn("nrm", norm(col("embedding")))
       .filter(col("nrm") > 0)
@@ -70,67 +83,119 @@ object VectorOps {
       .withColumn("cos",
         dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rnk"))
       .orderBy("q_id", "rnk")
   }
 
+  private val annCosineTopk = Q.noOracle("ann_cosine_topk")(bruteTopk(_, _))
+
   // -------------------------------------------------- LSH bucketing
-  /** Deterministic Rademacher (±1) hyperplanes from a fixed LCG seed —
-    * pure data, identical across executors and partition counts. */
-  private val N_PLANES = 12
+  /** 8 independent hash tables × 8 sign bits each. Deterministic Rademacher
+    * (±1) hyperplanes from a fixed LCG seed — pure data, identical across
+    * executors and partition counts. Plane t*BITS+j is bit j of table t. */
+  private val N_TABLES = 8
+  private val BITS = 8
   private def planes: Seq[Seq[Double]] = {
     var st = 42L
     def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
-    Seq.fill(N_PLANES)(Seq.fill(DIM)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0))
+    Seq.fill(N_TABLES * BITS)(Seq.fill(DIM)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0))
   }
 
-  /** Pack sign(v·plane_j) bits into a bucket id. Column-valued shift
-    * amounts need the SQL higher-order form. */
-  private def bucketCol: Column = expr(
-    s"""aggregate(sequence(0, ${N_PLANES - 1}), 0L, (acc, j) -> acc |
-       |  if(aggregate(sequence(1, $DIM), 0D,
-       |       (a, i) -> a + element_at(element_at(planes_, j + 1), i)
-       |                   * CAST(element_at(embedding, i) AS DOUBLE)) > 0D,
-       |     shiftleft(1L, j), 0L))""".stripMargin)
+  /** Per-table bucket ids: array of N_TABLES longs, bucket[t] packing
+    * sign(v·plane_{t*BITS+j}) into bit j. Column-valued shift amounts need
+    * the SQL higher-order form. */
+  private def bucketsCol: Column = expr(
+    s"""transform(sequence(0, ${N_TABLES - 1}), t ->
+       |  aggregate(sequence(0, ${BITS - 1}), 0L, (acc, j) -> acc |
+       |    if(aggregate(sequence(1, $DIM), 0D,
+       |         (a, i) -> a + element_at(element_at(planes_, t * $BITS + j + 1), i)
+       |                     * CAST(element_at(embedding, i) AS DOUBLE)) > 0D,
+       |       shiftleft(1L, j), 0L)))""".stripMargin)
 
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("planes_", typedLit(planes))
-      .withColumn("bucket", bucketCol)
-      .drop("planes_")
+  /** The NARROW hash relation: one (vec_id, tbl, bucket) row per table.
+    * This is the only thing the LSH shuffle moves. Persisted: the 64-plane
+    * projection (DIM·N_TABLES·BITS interpreted multiply-adds per vector)
+    * is the expensive part, and every consumer joins this relation at
+    * least twice (probe side + candidate side). */
+  private def hashRelation(e: DataFrame): DataFrame =
+    e.withColumn("planes_", typedLit(planes))
+      .withColumn("buckets", bucketsCol)
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .persist()
 
-  /** ANN via LSH: candidates = same-bucket equi-join (shuffle on bucket),
-    * then exact cosine re-rank. The scale path: no cross join anywhere. */
-  private val annLshTopk = Q.noOracle("ann_lsh_topk") { (s, d) =>
-    val e = withBucket(embeddings(s, d))
+  /** ANN via multi-table LSH with hamming≤1 multi-probe on the QUERY side:
+    * each query probes its own bucket plus the BITS single-bit-flip
+    * neighbors in every table (1+BITS probes × N_TABLES rows per query —
+    * constant). Candidates = equi-join on (tbl, bucket) → distinct
+    * (q_id, c_id) → exact cosine re-rank → top-k. No cross join anywhere;
+    * the per-query probe fan-out is fixed, so this is shuffle-shaped for
+    * 10^9 vectors. */
+  def lshTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val e = embeddings(s, d)
       .withColumn("nrm", norm(col("embedding")))
       .filter(col("nrm") > 0)
-    val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
+    val hashes = hashRelation(e)
+    val cand = hashes.select(col("vec_id").as("c_id"), col("tbl"), col("bucket"))
+    val probes = hashes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("tbl"),
+        explode(expr(s"""transform(sequence(0, $BITS), p ->
+          if(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
+    val pairs = probes.join(cand, Seq("tbl", "bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select("q_id", "c_id").distinct()
+    // Exact re-rank: join the wide vectors back for the deduped pairs only.
+    val q = e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col("nrm").as("q_nrm"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("nrm").as("c_nrm"), col("bucket").as("c_bucket"))
+      col("nrm").as("c_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id").asc)
-    q.join(c, col("bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+    pairs.join(q, Seq("q_id")).join(c, Seq("c_id"))
       .withColumn("cos",
         dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), round(col("cos"), 6).as("cos"), col("rnk"))
       .orderBy("q_id", "rnk")
   }
 
-  /** Embedding-cosine near-dup pairs inside LSH buckets (bounded pair
-    * generation), threshold re-checked exactly. */
+  private val annLshTopk = Q.noOracle("ann_lsh_topk")(lshTopk(_, _))
+
+  /** recall@5 of the LSH path against brute force, per query + the mean —
+    * the audit row a user checks before trusting ann_lsh_topk. Fully
+    * deterministic (fixed planes, fixed data); the ≥ 0.6 floor is pinned
+    * by AnnRecallSpec. */
+  def recallAt5(s: SparkSession, d: String): DataFrame = {
+    val bf = bruteTopk(s, d).select(col("q_id"), col("c_id"))
+    val lsh = lshTopk(s, d).select(col("q_id"), col("c_id"))
+    bf.join(lsh, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      .join(bf.groupBy("q_id").agg(count(lit(1)).as("k")), Seq("q_id"), "right")
+      .select(col("q_id"), round(coalesce(col("hits"), lit(0L)) / col("k"), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
+  private val annRecall = Q.noOracle("ann_recall")(recallAt5(_, _))
+
+  /** Embedding-cosine near-dup pairs from same-bucket collisions in ANY of
+    * the hash tables (bounded pair generation: per-table collision for a
+    * random pair is 2^-BITS), threshold re-checked exactly on the deduped
+    * candidate pairs. */
   private val dedupEmbedCosine = Q.noOracle("dedup_embed_cosine") { (s, d) =>
-    val e = withBucket(embeddings(s, d))
+    val e = embeddings(s, d)
       .withColumn("nrm", norm(col("embedding")))
       .filter(col("nrm") > 0)
+    val hashes = hashRelation(e)
+    val pairs = hashes.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(hashes.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"), col("bucket"))
+      col("nrm").as("nrm_a"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"), col("bucket").as("bucket_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      col("nrm").as("nrm_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
       .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= 0.3)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
@@ -139,5 +204,6 @@ object VectorOps {
   }
 
   val all: Seq[Q] = Seq(
-    vectorNorm, vectorAvgByLabel, annCosineTopk, annLshTopk, dedupEmbedCosine)
+    vectorNorm, vectorAvgByLabel, annCosineTopk, annLshTopk, annRecall,
+    dedupEmbedCosine)
 }

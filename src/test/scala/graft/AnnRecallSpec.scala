@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.VectorOps
+
+/** The LSH ANN path must be measurably useful, not just shuffle-shaped:
+  * recall@5 against the brute-force baseline is pinned at sf0.01 (500
+  * near-uniform random vectors — the adversarial case for LSH; see the
+  * parameterization note in VectorOps). A recall regression from a
+  * parameter or plane-generation change fails here, not in production. */
+class AnnRecallSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("LSH top-5 is non-vacuous: every query returns a full top-5 at sf0.01") {
+    val rows = VectorOps.lshTopk(spark, sf001).collect()
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.keySet == (0L until 8L).toSet, s"queries seen: ${perQuery.keySet}")
+    assert(perQuery.values.forall(_ == 5), s"rows per query: $perQuery")
+  }
+
+  test("mean recall@5 vs brute force >= 0.6 at sf0.01") {
+    val recalls = VectorOps.recallAt5(spark, sf001).collect()
+      .map(r => r.getDouble(1))
+    val mean = recalls.sum / recalls.length
+    assert(recalls.length == 8)
+    assert(mean >= 0.6, f"mean recall@5 = $mean%.3f (per-query: ${recalls.mkString(", ")})")
+  }
+
+  test("dedup_embed_cosine is non-vacuous at sf0.01") {
+    val q = SparkEntry.registry.find(_.name == "dedup_embed_cosine").get
+    val n = q.run(spark, sf001).count()
+    assert(n > 0, "near-dup candidate generation found no pairs — vacuous check")
+  }
+}

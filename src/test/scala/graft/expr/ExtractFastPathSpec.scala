@@ -45,6 +45,29 @@ class ExtractFastPathSpec extends AnyFunSuite {
     }
   }
 
+  // literalPair lives on the Extraction object (the golden-test class
+  // named ExtractionSpec shadows the spec object in this package).
+  private def lp(raw: String) = graft.expr.Extraction.literalPair(raw)
+
+  test("class/anchor escapes disable the fast path; metachar escapes don't") {
+    // Alphanumeric escapes are regex semantics (\d \w \s \b \Q \1), not
+    // literal chars — a pattern carrying one must fall back to the regex
+    // path instead of matching the letter literally.
+    for (esc <- Seq("\\d", "\\w", "\\s", "\\b", "\\Q", "\\1", "\\A", "\\z"))
+      assert(lp(s"A${esc}B(.*?)C").isEmpty, esc)
+    for (esc <- Seq("\\d", "\\w", "\\s"))
+      assert(lp(s"AB(.*?)C${esc}D").isEmpty, esc)
+    // True metachar escapes ARE the literal char.
+    assert(lp("""ITEM 7\.(.*?)ITEM 7A\.""")
+      .contains(("ITEM 7.", "ITEM 7A.")))
+    assert(lp("""a\$b(.*?)c""").contains(("a$b", "c")))
+    // \\d = escaped backslash then plain 'd' — a literal, NOT the \d class.
+    assert(lp("""a(.*?)c\\d""").contains(("a", "c\\d")))
+    // Unescaped regex syntax anywhere → no fast path.
+    assert(lp("a[b](.*?)c").isEmpty)
+    assert(lp("ab(.*?)c|d").isEmpty)
+  }
+
   test("fast path ≡ regex on hand-picked edges") {
     val cases = Seq(
       "", "ITEM 7.", "ITEM 7A.", "ITEM 7.ITEM 7A.", "ITEM 7.xITEM 7A.",
