@@ -99,11 +99,9 @@ object CrawlBench {
       import spark.implicits._
       Seq.empty[(String, Int)].toDF("host", "budget")
     }
-    var state = CrawlRound.State(
-      frontier = Robots.filterAllowed(Frontier.fromSeeds(spark, seedUrls), robots)
-        .localCheckpoint(true),
-      seenExact = Crawler.emptySeen(spark),
-      bloomShards = Crawler.emptyShards(spark))
+    var state = Crawler.emptyState(spark,
+      Robots.filterAllowed(Frontier.fromSeeds(spark, seedUrls), robots)
+        .localCheckpoint(true))
 
     val times = Seq.newBuilder[RoundTime]
     var r = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.expr.BloomOrExpr.bloom_or
-import graft.expr.Extractors
+import graft.expr.{Extractors, FilterExprs}
 import graft.fetch.Fetcher
 
 /** One crawl round (SURVEY.md §3.2) — a typed Dataset job:
@@ -24,17 +24,37 @@ import graft.fetch.Fetcher
   */
 object CrawlRound {
 
-  case class State(frontier: DataFrame, seenExact: DataFrame, bloomShards: DataFrame)
+  /** Crawl state tables. The URL-seen set is split into a PERMANENT subset
+    * (successful fetches — bloom-prefiltered, append-only) and a DELETABLE
+    * subset (failed fetches — cuckoo-prefiltered, so retired entries can be
+    * REMOVED for retry, which a Bloom filter cannot do). `seen` semantics
+    * everywhere = seenExact ∪ failed.
+    *
+    *   failed:       (url, urlHash, host, priority, depth, failRound) —
+    *                 full frontier shape, so retry re-enqueues directly
+    *   cuckooShards: (shardId, bits, numKeys) — prefilter of failed */
+  case class State(frontier: DataFrame, seenExact: DataFrame, bloomShards: DataFrame,
+                   failed: DataFrame, cuckooShards: DataFrame)
 
   /** `cached`: intermediates persisted inside run(); the caller MUST
     * materialize (checkpoint/write) `state` and `pages` first, then call
     * `unpersistCached()` — releasing them earlier re-runs the round's
-    * windows and fetch on every downstream use. */
+    * windows and fetch on every downstream use.
+    *
+    * `lineage` is the round-total row (partitionId = -1); `partLineage`
+    * carries one row per physical partition id with ALL counters. The
+    * stages partition independently, so partition p's popped/fetched
+    * (fetch-stage partitions) and rawCandidates/enqueued (expand/dedup
+    * stage partitions) describe different row sets that happen to share an
+    * id — per-partition dedupDropped = rawCandidates − enqueued is the
+    * per-stage-partition net and can be negative; only the total row's is
+    * a true drop count. */
   case class Output(
       pages: DataFrame,
       popped: DataFrame,
       state: State,
       lineage: RoundLineage,
+      partLineage: Seq[RoundLineage],
       cached: Seq[DataFrame]) {
     def unpersistCached(): Unit = cached.foreach(_.unpersist())
   }
@@ -59,15 +79,20 @@ object CrawlRound {
     // frontier — the largest table in the round.
     val remaining = remaining0.persist(StorageLevel.MEMORY_AND_DISK)
 
-    // One job yields both counters: the fetch join is 1:1 per popped url
-    // (corpus urls are unique), so fetched rows = popped rows. Counting
-    // popped separately would be a second full pass.
+    // One job yields popped+fetched PER PARTITION (the lineage contract):
+    // the Fetcher contract is strictly 1:1 per popped url (Fetcher trait
+    // scaladoc; asserted in CrawlSpec), so fetched rows = popped rows and
+    // counting popped separately would be a second full pass. The groupBy
+    // on spark_partition_id replaces the scalar agg — same single job, the
+    // grouped result is #partitions rows collected to the driver.
     val fetched = fetcher.fetch(popped).persist(StorageLevel.MEMORY_AND_DISK)
-    val (nPopped, nFetched) = timed("fetch") {
-      val r = fetched.agg(
-        count(lit(1)), count_if(col("status") === 200)).head()
-      (r.getLong(0), r.getLong(1))
+    val fetchParts = timed("fetch") {
+      fetched.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"), count_if(col("status") === 200).as("ok"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     }
+    val nPopped = fetchParts.map(_._2).sum
+    val nFetched = fetchParts.map(_._3).sum
 
     // X1/X2 — the extraction expressions; `html` never survives this select
     // (column pruning: the widest column dies as early as possible).
@@ -78,12 +103,19 @@ object CrawlRound {
       .select("url", "urlHash", "host", "depth", "round", "popRank",
         "status", "fetchTs", "lang", "itemText", "metrics")
 
-    // Seen-set update FIRST (a stale bloom would let just-popped urls back
-    // in as "definitely new" — the bloom must stay a superset of seen).
-    val seenExact2 = state.seenExact
-      .unionByName(popped.select("urlHash"))
+    // Seen-set update FIRST (a stale filter would let just-popped urls back
+    // in as "definitely new" — the prefilters must stay supersets of their
+    // exact tables). Successful fetches go to the PERMANENT subset
+    // (seenExact + bloom); failures go to the DELETABLE subset (failed +
+    // cuckoo) so they can later be retired for retry (Crawler.retryFailed).
+    val okHashes = fetched.filter(col("status") === 200).select("urlHash")
+    val failRows = fetched.filter(col("status") =!= 200)
+      .select(col("url"), col("urlHash"), col("host"), col("priority"),
+        col("depth"), lit(round).as("failRound"))
+    val seenExact2 = state.seenExact.unionByName(okHashes)
+    val failed2 = state.failed.unionByName(failRows)
     val deltaShards = Seen.buildBloomShards(
-      popped.select("urlHash"), cfg.nShards, cfg.expectedKeysPerShard, cfg.bloomFpp)
+      okHashes, cfg.nShards, cfg.expectedKeysPerShard, cfg.bloomFpp)
     val bloomShards2 = state.bloomShards
       .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
       .join(deltaShards, Seq("shardId"), "full_outer")
@@ -91,22 +123,43 @@ object CrawlRound {
         col("shardId"),
         coalesce(bloom_or(col("bitsOld"), col("bits")), col("bitsOld"), col("bits")).as("bits"),
         (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
+    val deltaCuckoo = Seen.buildCuckooShards(
+      failRows.select("urlHash"), cfg.nShards, cfg.expectedKeysPerShard)
+    val cuckooShards2 = state.cuckooShards
+      .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
+      .join(deltaCuckoo, Seq("shardId"), "full_outer")
+      .select(
+        col("shardId"),
+        coalesce(FilterExprs.cuckoo_merge(col("bitsOld"), col("bits")),
+          col("bitsOld"), col("bits")).as("bits"),
+        (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
 
     // Frontier expansion with dedup-before-shuffle.
     val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val nRaw = timed("expand")(rawCandidates.count())
+    val rawParts = timed("expand") {
+      rawCandidates.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    }
+    val nRaw = rawParts.map(_._2).sum
     val allowed = Robots.filterAllowed(rawCandidates, robots)
     // Anti vs the CHECKPOINTED input frontier, not `remaining`: frontier =
-    // remaining ∪ popped and popped ⊆ seenExact2 (already excluded by
-    // filterNew), so the result is identical — but the input frontier needs
-    // no recomputation.
+    // remaining ∪ popped and popped ⊆ seen (already excluded by filterNew),
+    // so the result is identical — but the input frontier needs no
+    // recomputation.
     val newEntries = Seen.filterNew(allowed, seenExact2, bloomShards2,
-      cfg.nShards, cfg.broadcastBloomProbe)
+      cfg.nShards, cfg.broadcastBloomProbe,
+      failedHashes = Some(failed2), cuckooShards = Some(cuckooShards2))
       .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nEnqueued = timed("dedup")(newEntries.count())
+    val enqParts = timed("dedup") {
+      newEntries.groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    }
+    val nEnqueued = enqParts.map(_._2).sum
 
     val frontier2 = remaining.unionByName(newEntries)
 
@@ -117,8 +170,24 @@ object CrawlRound {
       rawCandidates = nRaw, enqueued = nEnqueued,
       dedupDropped = nRaw - nEnqueued)
 
+    // Per-partition rows: merge the three per-stage maps on partition id.
+    val fetchMap = fetchParts.map(t => t._1 -> (t._2, t._3)).toMap
+    val rawMap = rawParts.toMap
+    val enqMap = enqParts.toMap
+    val partLineage = (fetchMap.keySet ++ rawMap.keySet ++ enqMap.keySet)
+      .toSeq.sorted.map { p =>
+        val (po, fe) = fetchMap.getOrElse(p, (0L, 0L))
+        val ra = rawMap.getOrElse(p, 0L)
+        val en = enqMap.getOrElse(p, 0L)
+        RoundLineage(round = round, partitionId = p,
+          popped = po, fetched = fe, extracted = fe,
+          rawCandidates = ra, enqueued = en, dedupDropped = ra - en)
+      }
+
     rawCandidates.unpersist()
-    Output(pages, popped, State(frontier2, seenExact2, bloomShards2), lineage,
+    Output(pages, popped,
+      State(frontier2, seenExact2, bloomShards2, failed2, cuckooShards2),
+      lineage, partLineage,
       cached = Seq(popped, remaining, fetched, newEntries))
   }
 }

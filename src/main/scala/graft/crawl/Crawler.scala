@@ -27,10 +27,10 @@ object Crawler {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = Seq(s.frontier, s.seenExact, s.bloomShards)
+    val fs = Seq(s.frontier, s.seenExact, s.bloomShards, s.failed, s.cuckooShards)
       .map(df => Future(df.localCheckpoint(true)))
-    val Seq(f, se, bs) = Await.result(Future.sequence(fs), Duration.Inf)
-    CrawlRound.State(f, se, bs)
+    val Seq(f, se, bs, fl, ck) = Await.result(Future.sequence(fs), Duration.Inf)
+    CrawlRound.State(f, se, bs, fl, ck)
   }
 
   def emptySeen(spark: SparkSession): DataFrame = {
@@ -46,15 +46,59 @@ object Crawler {
         StructField("bits", BinaryType),
         StructField("numKeys", LongType))))
 
+  def emptyFailed(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("url", StringType),
+        StructField("urlHash", LongType),
+        StructField("host", StringType),
+        StructField("priority", DoubleType),
+        StructField("depth", IntegerType),
+        StructField("failRound", IntegerType))))
+
+  def emptyState(spark: SparkSession, frontier: DataFrame): CrawlRound.State =
+    CrawlRound.State(
+      frontier = frontier,
+      seenExact = emptySeen(spark),
+      bloomShards = emptyShards(spark),
+      failed = emptyFailed(spark),
+      cuckooShards = emptyShards(spark))
+
+  /** Retire failed fetches matching `pred` back into the frontier for a
+    * retry at `nextRound` (503s after a backoff window, infra incidents,
+    * …). This is what the cuckoo side of the seen set exists for:
+    *  1. the retired rows are DELETED from the cuckoo shards — one grouped
+    *     delete batch per shard, no rebuild of the surviving entries;
+    *  2. removed from the exact failed table (anti join);
+    *  3. re-enqueued as frontier entries (dedup vs the standing frontier).
+    * The bloom/permanent side is untouched — successful fetches are never
+    * re-crawled. */
+  def retryFailed(state: CrawlRound.State, nextRound: Int,
+                  cfg: CrawlConfig,
+                  pred: org.apache.spark.sql.Column = lit(true)): CrawlRound.State = {
+    val toRetry = state.failed.filter(pred)
+    val keep = state.failed.join(toRetry.select("urlHash"), Seq("urlHash"), "left_anti")
+    val cuckoo2 = Seen.retireFromCuckoo(
+      state.cuckooShards, toRetry.select("urlHash"), cfg.nShards)
+    val retryEntries = toRetry
+      .select(col("url"), col("urlHash"), col("host"), col("priority"),
+        col("depth"), lit(nextRound).as("round"))
+      .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
+      .select("url", "urlHash", "host", "priority", "depth", "round")
+    state.copy(
+      frontier = state.frontier.unionByName(retryEntries),
+      failed = keep,
+      cuckooShards = cuckoo2)
+  }
+
   def run(spark: SparkSession, seeds: Seq[String], fetcher: Fetcher,
           robots: DataFrame, budgets: DataFrame, defaultBudget: Int,
           nRounds: Int, cfg: CrawlConfig = CrawlConfig()): Result = {
 
-    var state = CrawlRound.State(
-      frontier = Robots.filterAllowed(Frontier.fromSeeds(spark, seeds), robots)
-        .localCheckpoint(true),
-      seenExact = emptySeen(spark),
-      bloomShards = emptyShards(spark))
+    var state = emptyState(spark,
+      Robots.filterAllowed(Frontier.fromSeeds(spark, seeds), robots)
+        .localCheckpoint(true))
 
     val pagesAcc = Seq.newBuilder[DataFrame]
     val popAcc = Seq.newBuilder[DataFrame]
@@ -98,7 +142,10 @@ object Crawler {
       .collect().map(_.getString(0)).toSeq
 
   /** The final URL-seen set as a sorted hash dump (the seen-set parity
-    * artifact). */
+    * artifact). "Seen" = permanent subset ∪ deletable failed subset —
+    * everything ever popped and not retired. */
   def seenDump(state: CrawlRound.State): Seq[Long] =
-    state.seenExact.orderBy("urlHash").collect().map(_.getLong(0)).toSeq
+    state.seenExact.select("urlHash")
+      .unionByName(state.failed.select("urlHash"))
+      .orderBy("urlHash").collect().map(_.getLong(0)).toSeq
 }

@@ -36,6 +36,39 @@ object Seen {
         FilterAggregators.bloom_agg(expectedPerShard, fpp)(col("urlHash")).as("bits"),
         count(lit(1)).as("numKeys"))
 
+  /** Cuckoo shards over the DELETABLE seen-subset (failed/expired fetches
+    * that may be retired for retry). Same sharded groupBy shape as the
+    * bloom build — every shard is an independent reducer; no single global
+    * aggregate anywhere in the cuckoo path. */
+  def buildCuckooShards(hashes: DataFrame, nShards: Int,
+                        expectedPerShard: Long): DataFrame =
+    hashes
+      .withColumn("shardId", shardFor(col("urlHash"), nShards))
+      .groupBy("shardId")
+      .agg(
+        FilterAggregators.cuckoo_agg(expectedPerShard)(col("urlHash")).as("bits"),
+        count(lit(1)).as("numKeys"))
+
+  /** Retire a batch of hashes from the cuckoo shards (the delete path —
+    * what the Bloom side can never do). Deletes are grouped per shard and
+    * applied in ONE deserialize/serialize round-trip per shard row.
+    * Callers must only retire hashes that were actually inserted (the
+    * standard cuckoo delete contract); the crawl guarantees this by
+    * anti-joining the exact failed table first. */
+  def retireFromCuckoo(cuckooShards: DataFrame, retireHashes: DataFrame,
+                       nShards: Int): DataFrame = {
+    val dels = retireHashes
+      .withColumn("shardId", shardFor(col("urlHash"), nShards))
+      .groupBy("shardId")
+      .agg(collect_list("urlHash").as("dels"), count(lit(1)).as("nDels"))
+    cuckooShards.join(dels, Seq("shardId"), "left")
+      .select(
+        col("shardId"),
+        when(col("dels").isNull, col("bits"))
+          .otherwise(FilterExprs.cuckoo_delete_all(col("bits"), col("dels"))).as("bits"),
+        (col("numKeys") - coalesce(col("nDels"), lit(0L))).as("numKeys"))
+  }
+
   /** Candidates → the definitely-new subset, using bloom-then-exact.
     * `candidates` must carry `urlHash`; all its columns survive.
     *
@@ -53,20 +86,40 @@ object Seen {
     *    ~10^3 shards of 10^7–10^8 keys — comfortably wide. */
   def filterNew(candidates: DataFrame, seenExact: DataFrame,
                 bloomShards: DataFrame, nShards: Int,
-                broadcastProbe: Boolean = true): DataFrame = {
+                broadcastProbe: Boolean = true,
+                failedHashes: Option[DataFrame] = None,
+                cuckooShards: Option[DataFrame] = None): DataFrame = {
+    def probeJoin(cands: DataFrame, shards: DataFrame) =
+      if (broadcastProbe) cands.join(broadcast(shards), Seq("shardId"), "left")
+      else cands.join(shards.hint("shuffle_hash"), Seq("shardId"), "left")
+
     val withShard = candidates.withColumn("shardId", shardFor(col("urlHash"), nShards))
-    val joined =
-      if (broadcastProbe) withShard.join(broadcast(bloomShards), Seq("shardId"), "left")
-      else withShard.join(bloomShards.hint("shuffle_hash"), Seq("shardId"), "left")
-    val probed = joined
+    val bloomProbed = probeJoin(withShard, bloomShards)
       .withColumn("maybe_seen",
         coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
-      .drop("bits", "numKeys", "shardId")
+      .drop("bits", "numKeys")
+    // Deletable subset (failed fetches awaiting retry/retire): probe its
+    // cuckoo shards in the SAME map-side stage, OR into maybe_seen.
+    val probed = cuckooShards match {
+      case Some(ck) =>
+        probeJoin(bloomProbed,
+          ck.withColumnRenamed("bits", "cbits").withColumnRenamed("numKeys", "cn"))
+          .withColumn("maybe_seen", col("maybe_seen") ||
+            coalesce(FilterExprs.cuckoo_contains(col("cbits"), col("urlHash")), lit(false)))
+          .drop("cbits", "cn", "shardId")
+      case None => bloomProbed.drop("shardId")
+    }
 
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
-    // Only the maybe-seen remainder pays the shuffle of the exact anti join.
+    // Only the maybe-seen remainder pays the shuffle of the exact anti join
+    // — against BOTH ground-truth tables (permanent seen + deletable
+    // failed), so filter false positives never drop a genuinely new url.
+    val exact = failedHashes match {
+      case Some(f) => seenExact.select("urlHash").unionByName(f.select("urlHash"))
+      case None => seenExact.select("urlHash")
+    }
     val confirmedNew = probed.filter(col("maybe_seen")).drop("maybe_seen")
-      .join(seenExact.select("urlHash"), Seq("urlHash"), "left_anti")
+      .join(exact, Seq("urlHash"), "left_anti")
 
     definitelyNew.unionByName(confirmedNew)
   }

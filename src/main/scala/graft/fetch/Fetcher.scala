@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * frontier slice (url, urlHash, host, priority, depth, round). Output:
   * the input columns plus (status:int, fetchTs:timestamp, html:binary).
   *
+  * CONTRACT — strictly 1:1: exactly one output row per popped row, misses
+  * and errors included (report them as status ≠ 200, never by dropping the
+  * row; duplicate-url corpora must be deduped inside the fetcher).
+  * CrawlRound derives the `popped` lineage counter from the fetched row
+  * count (one job instead of two) and uses popped == 0 as loop
+  * termination, so a row-dropping fetcher would mis-count lineage and can
+  * end a crawl with a non-empty frontier. CrawlSpec asserts the 1:1
+  * property against the round's actual popped slice.
+  *
   * The sandbox has no network (SURVEY.md §0), so the default impl resolves
   * URLs against a Common-Crawl-style page table; real HTTP is another
   * implementation of this trait, never a hard dependency of the engine.
@@ -101,12 +110,59 @@ class GenerativeFetcher(nUrls: Long, seed: Long, nHosts: Int, fanout: Int,
   }
 }
 
-/** Real-HTTP fetcher skeleton (mapPartitions + bounded thread pool per
-  * partition, java.net.http). NOT runnable in this sandbox (no egress) and
-  * deliberately not referenced by the pipeline — it documents where the
-  * cluster implementation plugs in. */
-class HttpFetcherStub(timeoutMs: Int = 10000, threadsPerPartition: Int = 8) extends Fetcher {
-  override def fetch(popped: DataFrame): DataFrame =
-    throw new UnsupportedOperationException(
-      "HTTP fetching requires network egress; use CorpusFetcher in this environment")
+/** Real-HTTP fetcher: mapPartitions + a bounded java.net.http client pool
+  * per partition. Honors the 1:1 trait contract — every popped row yields
+  * exactly one output row; network errors and timeouts become status 599
+  * (never dropped rows). The client and executor are built LAZILY on the
+  * first element, so empty partitions (and the no-egress schema test) never
+  * open sockets. `fetchTs` is wall-clock here — a real-HTTP crawl is
+  * inherently non-reproducible, so the byte-determinism golden tests only
+  * ever run against the corpus/generative fetchers.
+  *
+  * Scale shape: fetch cost is per-popped-row and embarrassingly parallel
+  * (no scan, no shuffle, no broadcast); `concurrencyPerPartition` bounds
+  * in-flight requests per task so executors-per-host politeness composes
+  * with the frontier's per-host budgets rather than multiplying them. NOT
+  * exercisable in this sandbox (no egress): covered by a schema/laziness
+  * test only. */
+class HttpFetcher(timeoutMs: Int = 10000, concurrencyPerPartition: Int = 8,
+                  userAgent: String = "graft-crawler/1.0") extends Fetcher {
+  override def fetch(popped: DataFrame): DataFrame = {
+    val spark = popped.sparkSession
+    import spark.implicits._
+    val (tmo, conc, ua) = (timeoutMs, concurrencyPerPartition, userAgent)
+    popped.as[PoppedEntry].mapPartitions { it =>
+      // Lazy: nothing network-shaped is constructed for an empty partition.
+      lazy val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(tmo))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+      it.grouped(conc).flatMap { batch =>
+        val futures = batch.map { e =>
+          val req =
+            try {
+              val r = java.net.http.HttpRequest.newBuilder(java.net.URI.create(e.url))
+                .timeout(java.time.Duration.ofMillis(tmo))
+                .header("User-Agent", ua).GET().build()
+              Some(client.sendAsync(r,
+                java.net.http.HttpResponse.BodyHandlers.ofByteArray()))
+            } catch { case _: Throwable => None }
+          (e, req)
+        }
+        futures.map { case (e, fOpt) =>
+          val now = new java.sql.Timestamp(System.currentTimeMillis())
+          fOpt.flatMap { f =>
+            try {
+              val resp = f.get(tmo.toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+              Some(FetchedPage(e.url, e.urlHash, e.host, e.priority, e.depth,
+                e.round, e.popRank, resp.statusCode(), now, resp.body(),
+                new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8),
+                null))
+            } catch { case _: Throwable => None }
+          }.getOrElse(FetchedPage(e.url, e.urlHash, e.host, e.priority, e.depth,
+            e.round, e.popRank, 599, now, null, null, null))
+        }
+      }
+    }.toDF()
+  }
 }

@@ -152,6 +152,25 @@ object GraftCuckooFilter {
     false
   }
 
+  /** Serialized-form merge (the shard OR-combine of the incremental
+    * seen-set update — a handful of shard rows per round). */
+  def mergeSerialized(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    deserialize(a).merge(deserialize(b)).serialize()
+
+  /** Delete every key in `keys` from the serialized shard (the retire
+    * path). Runs once per shard row with that shard's retired keys
+    * grouped into one array — one deserialize/serialize per shard, not
+    * per key. Deleting a never-inserted key is a no-op (the per-key
+    * delete contract is enforced upstream: retire joins against the
+    * exact failed table first). */
+  def deleteAllSerialized(bytes: Array[Byte],
+                          keys: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val f = deserialize(bytes)
+    var i = 0
+    while (i < keys.numElements()) { f.delete(keys.getLong(i)); i += 1 }
+    f.serialize()
+  }
+
   def deserialize(bytes: Array[Byte]): GraftCuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     require(bb.getInt() == MAGIC, "not a GraftCuckooFilter")

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.agg.FilterAggregators
 import graft.crawl.Seen
 import graft.expr.FilterExprs
 import graft.tables.Tables._
@@ -52,21 +51,45 @@ object SeenOps {
       .agg(count(lit(1)).as("n_new"))
   }
 
-  /** Cuckoo build + probe: insert all order-key hashes, probe them all —
-    * n_hits must equal n_probed (no false negatives). The delete path is
-    * covered by the CuckooFilterSpec property tests (deletion is a
-    * filter-object operation, not a SQL one). */
+  /** Cuckoo build + probe, SHARDED exactly like the bloom path: a grouped
+    * aggregation builds one shard per reducer (never a single global
+    * aggregate), probes broadcast-join on shardId. n_hits must equal
+    * n_probed (no false negatives). */
   private val cuckooSeen = Q.noOracle("cuckoo_seen_filter") { (s, d) =>
-    val keys = orders(s, d).select(col("o_orderkey"),
-      xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
-    val filterBytes = keys
-      .agg(FilterAggregators.cuckoo_agg(40000)(col("urlHash")).as("bits"))
-    keys.crossJoin(broadcast(filterBytes))
+    val keys = orders(s, d)
+      .select(xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
+    val shards = Seen.buildCuckooShards(keys, N_SHARDS, 40000)
+    keys
+      .withColumn("shardId", Seen.shardFor(col("urlHash"), N_SHARDS))
+      .join(broadcast(shards), Seq("shardId"))
       .withColumn("hit", FilterExprs.cuckoo_contains(col("bits"), col("urlHash")))
       .agg(
         count(lit(1)).as("n_probed"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
   }
 
-  val all: Seq[Q] = Seq(bloomSeen, bloomDedup, cuckooSeen)
+  /** The retire pipeline end to end: build sharded cuckoo over all order
+    * keys, DELETE every key ≡ 0 (mod 10) via the grouped per-shard delete,
+    * re-probe everything. Retained keys must all still hit (cuckoo deletes
+    * never disturb other entries); retired keys may only linger as
+    * fingerprint-collision noise (deterministic, counted). */
+  private val cuckooRetire = Q.noOracle("cuckoo_retire_pipeline") { (s, d) =>
+    val keyed = orders(s, d)
+      .select(col("o_orderkey"), xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
+    val shards = Seen.buildCuckooShards(keyed.select("urlHash"), N_SHARDS, 40000)
+    val retired = keyed.filter(col("o_orderkey") % 10 === 0).select("urlHash")
+    val afterDelete = Seen.retireFromCuckoo(shards, retired, N_SHARDS)
+    keyed
+      .withColumn("wasRetired", col("o_orderkey") % 10 === 0)
+      .withColumn("shardId", Seen.shardFor(col("urlHash"), N_SHARDS))
+      .join(broadcast(afterDelete), Seq("shardId"))
+      .withColumn("hit", FilterExprs.cuckoo_contains(col("bits"), col("urlHash")))
+      .agg(
+        sum(when(!col("wasRetired"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(!col("wasRetired") && col("hit"), 1L).otherwise(0L)).as("n_retained_hit"),
+        sum(when(col("wasRetired"), 1L).otherwise(0L)).as("n_retired"),
+        sum(when(col("wasRetired") && col("hit"), 1L).otherwise(0L)).as("n_retired_ghost"))
+  }
+
+  val all: Seq[Q] = Seq(bloomSeen, bloomDedup, cuckooSeen, cuckooRetire)
 }

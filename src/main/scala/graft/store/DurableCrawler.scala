@@ -28,6 +28,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   val frontier = new SnapshotTable(spark, root, "frontier")
   val seen = new SnapshotTable(spark, root, "seen")
   val shards = new SnapshotTable(spark, root, "shards")
+  val failed = new SnapshotTable(spark, root, "failed")
+  val cuckoo = new SnapshotTable(spark, root, "cuckoo")
   val pages = new SnapshotTable(spark, root, "pages")
   val lineage = new SnapshotTable(spark, root, "lineage")
 
@@ -35,6 +37,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   private val logPointer = logDir.resolve("current")
 
   case class RoundEntry(round: Int, frontierV: Long, seenV: Long, shardsV: Long,
+                        failedV: Long, cuckooV: Long,
                         pagesV: Long, lineageV: Long)
 
   def lastCompleteRound: Option[Int] =
@@ -44,6 +47,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     val n = mapper.readTree(Files.readString(logDir.resolve(s"round-$round.json")))
     RoundEntry(n.get("round").asInt(), n.get("frontierV").asLong(),
       n.get("seenV").asLong(), n.get("shardsV").asLong(),
+      n.get("failedV").asLong(), n.get("cuckooV").asLong(),
       n.get("pagesV").asLong(), n.get("lineageV").asLong())
   }
 
@@ -52,8 +56,9 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     val node = mapper.createObjectNode()
     node.put("round", e.round)
     node.put("frontierV", e.frontierV); node.put("seenV", e.seenV)
-    node.put("shardsV", e.shardsV); node.put("pagesV", e.pagesV)
-    node.put("lineageV", e.lineageV)
+    node.put("shardsV", e.shardsV)
+    node.put("failedV", e.failedV); node.put("cuckooV", e.cuckooV)
+    node.put("pagesV", e.pagesV); node.put("lineageV", e.lineageV)
     Files.writeString(logDir.resolve(s"round-${e.round}.json"), node.toString)
     val tmp = logDir.resolve(s".current.tmp.${e.round}")
     Files.writeString(tmp, e.round.toString)
@@ -66,7 +71,9 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     CrawlRound.State(
       frontier = frontier.read(e.frontierV),
       seenExact = seen.read(e.seenV),
-      bloomShards = shards.read(e.shardsV))
+      bloomShards = shards.read(e.shardsV),
+      failed = failed.read(e.failedV),
+      cuckooShards = cuckoo.read(e.cuckooV))
   }
 
   /** Round "-1": the seed state. Idempotent — safe to call on an
@@ -78,24 +85,22 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       frontierV = frontier.commit(f0),
       seenV = seen.commit(Crawler.emptySeen(spark)),
       shardsV = shards.commit(Crawler.emptyShards(spark)),
+      failedV = failed.commit(Crawler.emptyFailed(spark)),
+      cuckooV = cuckoo.commit(Crawler.emptyShards(spark)),
       pagesV = -1L, lineageV = -1L))
   }
 
-  /** Per-partition lineage rows (partitionId ≥ 0 carry the popped-count of
-    * each physical partition; partitionId = -1 is the round total across
-    * every counter). */
+  /** Lineage table rows: partitionId = -1 is the round total; every
+    * partitionId ≥ 0 row carries ALL counters for that physical partition
+    * (collected inside the round's own counting jobs — no extra job here;
+    * see CrawlRound.Output.partLineage for the per-stage semantics). */
   private def lineageDf(out: CrawlRound.Output, r: Int): DataFrame = {
     import spark.implicits._
-    val l = out.lineage
-    val total = Seq(l).toDF()
-    val perPart = out.popped
-      .groupBy(spark_partition_id().cast("int").as("partitionId"))
-      .agg(count(lit(1)).as("popped"))
-      .select(lit(r).as("round"), col("partitionId"), col("popped"),
-        lit(0L).as("fetched"), lit(0L).as("extracted"),
-        lit(0L).as("rawCandidates"), lit(0L).as("enqueued"), lit(0L).as("dedupDropped"))
-    total.unionByName(perPart)
+    (out.lineage +: out.partLineage).toDF()
   }
+
+  /** The committed lineage table of a completed round. */
+  def lineageAt(round: Int): DataFrame = lineage.read(entry(round).lineageV)
 
   /** Run rounds (lastComplete+1 .. untilRound]. `failBeforeLogAt` injects a
     * crash AFTER the table commits but BEFORE the round-log swap of that
@@ -115,21 +120,23 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         fetcher, r, cfg)
       if (res.lineage.popped == 0) { continue = false }
       else {
-        // The five table commits are independent single-writer snapshots —
+        // The seven table commits are independent single-writer snapshots —
         // run them concurrently (serial parquet-write latencies never
         // amortize). The round-log entry BELOW remains the linearization
         // point: until it swaps, none of these versions are referenced.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val Seq(fv, sv, shv, pv, lv) = Await.result(Future.sequence(Seq(
+        val Seq(fv, sv, shv, flv, ckv, pv, lv) = Await.result(Future.sequence(Seq(
           Future(frontier.commit(res.state.frontier)),
           Future(seen.commit(res.state.seenExact)),
           Future(shards.commit(res.state.bloomShards)),
+          Future(failed.commit(res.state.failed)),
+          Future(cuckoo.commit(res.state.cuckooShards)),
           Future(pages.commit(res.pages)),
           Future(lineage.commit(lineageDf(res, r))))), Duration.Inf)
         val e = RoundEntry(r, frontierV = fv, seenV = sv, shardsV = shv,
-          pagesV = pv, lineageV = lv)
+          failedV = flv, cuckooV = ckv, pagesV = pv, lineageV = lv)
         if (r == failBeforeLogAt)
           throw new RuntimeException(s"injected kill before round-$r log commit")
         writeEntry(e)

@@ -58,10 +58,26 @@ object StreamingCrawl {
           val headroom =
             if (maxTotalPerHost < 0) budgetPerTrigger.toLong
             else budgetPerTrigger.toLong.min((maxTotalPerHost - used).max(0L))
-          // Deterministic order within the trigger — never arrival order.
-          val take = it.toSeq
-            .sortBy(e => (-e.priority, e.urlHash))
-            .take(headroom.toInt)
+          // Deterministic order within the trigger — never arrival order —
+          // via a BOUNDED top-k heap: a mega-host group streams through in
+          // O(budget) memory instead of materializing (it.toSeq would hold
+          // the whole group, and one hot host can be most of a trigger).
+          val k = headroom.toInt
+          val take: Seq[FrontierEntry] =
+            if (k <= 0) Seq.empty
+            else {
+              val rank = (e: FrontierEntry) => (-e.priority, e.urlHash)
+              // max-heap on rank: the WORST kept entry sits on top.
+              val pq = scala.collection.mutable.PriorityQueue.empty[FrontierEntry](
+                Ordering.by(rank))
+              it.foreach { e =>
+                if (pq.size < k) pq.enqueue(e)
+                else if (Ordering[(Double, Long)].lt(rank(e), rank(pq.head))) {
+                  pq.dequeue(); pq.enqueue(e)
+                }
+              }
+              pq.dequeueAll.reverse
+            }
           state.update(HostLedger(used + take.size))
           take.iterator
       }

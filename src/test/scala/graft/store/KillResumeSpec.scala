@@ -65,6 +65,26 @@ class KillResumeSpec extends AnyFunSuite {
       sortedRows(b2.allPages().get.selectExpr("urlHash", "map_entries(metrics) as me")))
   }
 
+  test("lineage carries ALL counters for every partitionId >= 0, summing to the totals") {
+    val (budgets, default) = budgetsAndDefault
+    val root = Files.createTempDirectory("crawlL").toString
+    val d = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    d.init(seeds, robots)
+    d.runRounds(2, fetcher, robots, budgets, default)
+    for (r <- 0 to 2) {
+      val rows = d.lineageAt(r).collect()
+      val total = rows.find(_.getAs[Int]("partitionId") == -1).get
+      val parts = rows.filter(_.getAs[Int]("partitionId") >= 0)
+      assert(parts.nonEmpty, s"round $r has no per-partition rows")
+      for (c <- Seq("popped", "fetched", "extracted", "rawCandidates", "enqueued"))
+        assert(parts.map(_.getAs[Long](c)).sum == total.getAs[Long](c),
+          s"round $r: per-partition $c does not sum to the round total")
+      // every per-partition row carries every counter column (non-null)
+      parts.foreach(p => Seq("popped", "fetched", "extracted", "rawCandidates",
+        "enqueued", "dedupDropped").foreach(c => assert(!p.isNullAt(p.fieldIndex(c)))))
+    }
+  }
+
   test("durable run reproduces the in-memory crawler's seen set") {
     val (budgets, default) = budgetsAndDefault
     val root = Files.createTempDirectory("crawlC").toString
