@@ -52,8 +52,54 @@ object Shingles {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** Sorted distinct n-word shingles as STRINGS — for cross-engine
+    * signature parity (the md5 minhash oracle), where the hash must be one
+    * both engines compute on the same string bytes. */
+  def shinglesStr(u: UTF8String, n: Int): ArrayData = {
+    val toks = u.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val set = new java.util.TreeSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   def word_shingles64(text: Column, n: Int = 3): Column =
     Bridge.column(WordShingles64(Bridge.expression(text), n))
+
+  def word_shingles(text: Column, n: Int = 3): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+}
+
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles.shinglesStr(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.Shingles.shinglesStr($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
 }
 
 case class WordShingles64(child: Expression, n: Int) extends UnaryExpression {

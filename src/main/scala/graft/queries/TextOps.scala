@@ -290,6 +290,48 @@ object TextOps {
       .limit(1000)
   }
 
+  /** Cross-engine MinHash SIGNATURE PARITY: md5 is the one hash both
+    * engines compute identically on the same bytes, so an md5-seeded
+    * minhash family (component k = min over shingles of md5("k:" ++ g),
+    * lexicographic min on the hex — binary collation in both engines) is
+    * fully oracle-checkable. This pins the minhash MACHINERY (shingling,
+    * seeding, min-fold) against DuckDB exactly; the production pipeline
+    * (dedup_minhash) keeps the cheaper xxhash64 family. */
+  private val MD5_SEEDS = 4
+
+  private val minhashSignature = Q(
+    "minhash_signature", {
+      val sigCols = (0 until MD5_SEEDS).map { k =>
+        s"list_min(list_transform(grams, g -> md5('$k:' || g))) AS sig_$k"
+      }.mkString(",\n      |       ")
+      s"""WITH sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |           list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+      |                  || ' ' || str_split(text, ' ')[i+2])
+      |           ELSE [] END) AS grams
+      |  FROM documents)
+      |SELECT doc_id, $sigCols
+      |FROM sh WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val grams = graft.expr.Shingles.word_shingles(col("text"))
+    // One K-way fold pass (single grams reference — see minhashSig note).
+    // '~' (0x7E) sorts above every md5 hex char, so it is the fold identity.
+    val sigs = aggregate(
+      grams,
+      array_repeat(lit("~"), MD5_SEEDS),
+      (acc, g) => zip_with(acc,
+        array((0 until MD5_SEEDS).map(k => md5(concat(lit(s"$k:"), g))): _*),
+        (a, b) => least(a, b)))
+    documents(s, d)
+      .filter(size(grams) > 0)
+      .withColumn("sigs", sigs)
+      .select(col("doc_id") +:
+        (0 until MD5_SEEDS).map(k => element_at(col("sigs"), k + 1).as(s"sig_$k")): _*)
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash from token hashes (majority vote per bit), banded into
     * 4×16-bit chunks for candidate generation (pigeonhole-complete for
     * hamming ≤ 3), verified with bit_count(XOR). Bitwise-only arithmetic
@@ -476,7 +518,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint,
-    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    dedupExact, dedupNgramJaccard, dedupMinhash, minhashSignature, dedupSimhash,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
     multimodalDecode)
 }

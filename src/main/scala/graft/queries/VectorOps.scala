@@ -181,13 +181,24 @@ object VectorOps {
     * the hash tables (bounded pair generation: per-table collision for a
     * random pair is 2^-BITS), threshold re-checked exactly on the deduped
     * candidate pairs. */
+  /** Degenerate-bucket guard for the pair join: a pathological bucket (all
+    * vectors hashing identically — e.g. a constant-embedding flood) would
+    * make the self-join quadratic in that bucket. Buckets larger than the
+    * cap are skipped for PAIR generation (their members still pair through
+    * their other 7 tables). No effect at fixture scale (max bucket ≪ cap). */
+  private val PAIR_BUCKET_CAP = 1000
+
   private val dedupEmbedCosine = Q.noOracle("dedup_embed_cosine") { (s, d) =>
     val e = embeddings(s, d)
       .withColumn("nrm", norm(col("embedding")))
       .filter(col("nrm") > 0)
     val hashes = hashRelation(e)
-    val pairs = hashes.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
-      .join(hashes.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
+    val small = hashes.select("tbl", "bucket")
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= PAIR_BUCKET_CAP).drop("n")
+    val capped = hashes.join(small, Seq("tbl", "bucket"), "left_semi")
+    val pairs = capped.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
+      .join(capped.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

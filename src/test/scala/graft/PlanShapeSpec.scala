@@ -91,6 +91,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(1500))
   }
 
+  test("seen filter with deletable subset: cuckoo probe is map-side, exact backstop covers both tables") {
+    import spark.implicits._
+    val candidates = spark.range(100)
+      .select(col("id").as("urlHash"), concat(lit("u"), col("id")).as("url"))
+    val seen = spark.range(0, 40).select(col("id").as("urlHash"))
+    val failedHashes = spark.range(40, 60).select(col("id").as("urlHash"))
+    val bloom = graft.crawl.Seen.buildBloomShards(seen, 4, 1024)
+    val cuckoo = graft.crawl.Seen.buildCuckooShards(failedHashes, 4, 1024)
+    val out = graft.crawl.Seen.filterNew(candidates, seen, bloom, 4,
+      failedHashes = Some(failedHashes), cuckooShards = Some(cuckoo))
+    val rows = out.collect()
+    // exact semantics: new = everything not in seen ∪ failed
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (60L until 100L).toSeq)
+    val p = out.queryExecution.executedPlan.toString
+    // both probes are broadcast joins (map-side, pre-shuffle), and the
+    // probe expressions appear in the plan — not rewritten into shuffles
+    assert(p.contains("cuckoo_contains"), p.take(2000))
+    assert(p.contains("bloom_might_contain"), p.take(2000))
+    assert(!p.contains("SortMergeJoin(") || p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("seen filter: the 10^10 shard-probe path shuffles, matches broadcast results") {
     import spark.implicits._
     val candidates = spark.range(200)
