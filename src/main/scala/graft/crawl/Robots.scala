@@ -38,6 +38,27 @@ object Robots {
     (rows.result().toDF("host", "budget"), default)
   }
 
+  /** Per-host budgets DERIVED from robots crawl-delay: a batch round
+    * models a wall-clock window of `roundWindowMs`, so a host asking for
+    * `crawlDelayMs` between fetches may be fetched at most
+    * ⌊window / delay⌋ times per round (min 1 — a delay never blacklists).
+    * Explicit budget rows (from loadBudgets) take precedence via the
+    * caller's unionByName + dedup-first semantics in mergedBudgets. Hosts
+    * with no crawl delay fall through to the default budget. */
+  def budgetsFromCrawlDelay(robots: DataFrame, roundWindowMs: Long): DataFrame =
+    robots.filter(col("crawlDelayMs") > 0)
+      .select(col("host"),
+        greatest(lit(1L), lit(roundWindowMs) / col("crawlDelayMs"))
+          .cast("int").as("budget"))
+
+  /** Explicit budgets override delay-derived ones; the rest union in. */
+  def mergedBudgets(explicit: DataFrame, robots: DataFrame,
+                    roundWindowMs: Long): DataFrame = {
+    val derived = budgetsFromCrawlDelay(robots, roundWindowMs)
+      .join(explicit.select("host"), Seq("host"), "left_anti")
+    explicit.unionByName(derived)
+  }
+
   /** Keep only rows whose URL path is allowed by the host's rules:
     * disallowed iff some disallow prefix matches and no allow prefix
     * rescues it. Hosts with no rules are allowed. The join is an explicit

@@ -69,46 +69,75 @@ object Seen {
         (col("numKeys") - coalesce(col("nDels"), lit(0L))).as("numKeys"))
   }
 
+  /** Collect a (shardId, bits, …) shard table into a dense array indexed
+    * by shardId (missing shards stay null = empty), ready to broadcast for
+    * the zero-copy probe expressions. Driver-side size = the full shard
+    * table — only for the broadcast-probe regime. */
+  def collectShardArray(shards: DataFrame, nShards: Int): Array[Array[Byte]] = {
+    val arr = new Array[Array[Byte]](nShards)
+    shards.select("shardId", "bits").collect()
+      .foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](1))
+    arr
+  }
+
   /** Candidates → the definitely-new subset, using bloom-then-exact.
     * `candidates` must carry `urlHash`; all its columns survive.
     *
     * Probe-side strategy (`broadcastProbe`):
-    *  - `true` (default, sandbox/small-shard scale): broadcast the whole
-    *    shard table — zero shuffle on the candidate side, probe is
-    *    map-side inside codegen.
+    *  - `true` (default, sandbox/small-shard scale): the shard table is
+    *    collected and broadcast as a plain array, and the probe is a
+    *    custom expression that reads the shared bytes ZERO-COPY inside
+    *    codegen (see graft.expr.ShardedProbe). A broadcast JOIN would be
+    *    map-side too, but its per-row `bits` column read copies the whole
+    *    shard per candidate row (~40 GB/round of memcpy at bench scale) —
+    *    pure memory bandwidth, the one resource a single box cannot scale.
     *  - `false` (the 10^10 path, §4.10): at full scale the shard table is
-    *    ~12 GB of bits — broadcasting it to every executor is the OOM.
-    *    Instead, shuffle-hash-join on shardId: each shard's bits travel
-    *    ONCE to the reducer holding its candidates (the per-reducer build
-    *    map holds only that reducer's shards), and the probe + drop(bits)
-    *    fuse into the join stage, so the bits are never materialized per
-    *    candidate row. Parallelism = nShards, which at that scale is
-    *    ~10^3 shards of 10^7–10^8 keys — comfortably wide. */
+    *    ~12 GB of bits — collecting/broadcasting it is the OOM. Instead,
+    *    shuffle-hash-join on shardId: each shard's bits travel ONCE to the
+    *    reducer holding its candidates. The join output still pays the
+    *    per-row binary read there; the full fix at that scale is a
+    *    partition-local shard cache keyed by shardId (the candidate side
+    *    is shuffled BY shardId, so each reducer touches exactly one shard
+    *    — one deserialize per task, amortized), left as the documented
+    *    cluster-tier refinement. */
   def filterNew(candidates: DataFrame, seenExact: DataFrame,
                 bloomShards: DataFrame, nShards: Int,
                 broadcastProbe: Boolean = true,
                 failedHashes: Option[DataFrame] = None,
                 cuckooShards: Option[DataFrame] = None): DataFrame = {
-    def probeJoin(cands: DataFrame, shards: DataFrame) =
-      if (broadcastProbe) cands.join(broadcast(shards), Seq("shardId"), "left")
-      else cands.join(shards.hint("shuffle_hash"), Seq("shardId"), "left")
-
-    val withShard = candidates.withColumn("shardId", shardFor(col("urlHash"), nShards))
-    val bloomProbed = probeJoin(withShard, bloomShards)
-      .withColumn("maybe_seen",
-        coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
-      .drop("bits", "numKeys")
-    // Deletable subset (failed fetches awaiting retry/retire): probe its
-    // cuckoo shards in the SAME map-side stage, OR into maybe_seen.
-    val probed = cuckooShards match {
-      case Some(ck) =>
-        probeJoin(bloomProbed,
-          ck.withColumnRenamed("bits", "cbits").withColumnRenamed("numKeys", "cn"))
-          .withColumn("maybe_seen", col("maybe_seen") ||
-            coalesce(FilterExprs.cuckoo_contains(col("cbits"), col("urlHash")), lit(false)))
-          .drop("cbits", "cn", "shardId")
-      case None => bloomProbed.drop("shardId")
-    }
+    val probed =
+      if (broadcastProbe) {
+        val sc = candidates.sparkSession.sparkContext
+        val sid = shardFor(col("urlHash"), nShards)
+        val bloomBc = sc.broadcast(collectShardArray(bloomShards, nShards))
+        val bloomHit =
+          graft.expr.ShardedProbe.bloom_shards_probe(bloomBc, sid, col("urlHash"))
+        val hit = cuckooShards match {
+          case Some(ck) =>
+            val ckBc = sc.broadcast(collectShardArray(ck, nShards))
+            bloomHit ||
+              graft.expr.ShardedProbe.cuckoo_shards_probe(ckBc, sid, col("urlHash"))
+          case None => bloomHit
+        }
+        candidates.withColumn("maybe_seen", hit)
+      } else {
+        def probeJoin(cands: DataFrame, shards: DataFrame) =
+          cands.join(shards.hint("shuffle_hash"), Seq("shardId"), "left")
+        val withShard = candidates.withColumn("shardId", shardFor(col("urlHash"), nShards))
+        val bloomProbed = probeJoin(withShard, bloomShards)
+          .withColumn("maybe_seen",
+            coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
+          .drop("bits", "numKeys")
+        cuckooShards match {
+          case Some(ck) =>
+            probeJoin(bloomProbed,
+              ck.withColumnRenamed("bits", "cbits").withColumnRenamed("numKeys", "cn"))
+              .withColumn("maybe_seen", col("maybe_seen") ||
+                coalesce(FilterExprs.cuckoo_contains(col("cbits"), col("urlHash")), lit(false)))
+              .drop("cbits", "cn", "shardId")
+          case None => bloomProbed.drop("shardId")
+        }
+      }
 
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     // Only the maybe-seen remainder pays the shuffle of the exact anti join

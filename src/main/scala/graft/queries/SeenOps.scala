@@ -19,14 +19,13 @@ object SeenOps {
     * deterministic given the fixed hash functions). */
   private val bloomSeen = Q.noOracle("bloom_seen_filter") { (s, d) =>
     val seen = orders(s, d).select(xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
-    val shards = Seen.buildBloomShards(seen, N_SHARDS, 20000, 0.01)
+    val bc = s.sparkContext.broadcast(
+      Seen.collectShardArray(Seen.buildBloomShards(seen, N_SHARDS, 20000, 0.01), N_SHARDS))
     val probes = lineitem(s, d)
       .select(xxhash64(col("l_orderkey").cast("string")).as("urlHash")).distinct()
     probes
-      .withColumn("shardId", Seen.shardFor(col("urlHash"), N_SHARDS))
-      .join(broadcast(shards), Seq("shardId"), "left")
-      .withColumn("might",
-        coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
+      .withColumn("might", graft.expr.ShardedProbe.bloom_shards_probe(bc,
+        Seen.shardFor(col("urlHash"), N_SHARDS), col("urlHash")))
       .agg(
         count(lit(1)).as("n_probed"),
         sum(when(col("might"), 1L).otherwise(0L)).as("n_might_contain"))
@@ -58,11 +57,11 @@ object SeenOps {
   private val cuckooSeen = Q.noOracle("cuckoo_seen_filter") { (s, d) =>
     val keys = orders(s, d)
       .select(xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
-    val shards = Seen.buildCuckooShards(keys, N_SHARDS, 40000)
+    val bc = s.sparkContext.broadcast(
+      Seen.collectShardArray(Seen.buildCuckooShards(keys, N_SHARDS, 40000), N_SHARDS))
     keys
-      .withColumn("shardId", Seen.shardFor(col("urlHash"), N_SHARDS))
-      .join(broadcast(shards), Seq("shardId"))
-      .withColumn("hit", FilterExprs.cuckoo_contains(col("bits"), col("urlHash")))
+      .withColumn("hit", graft.expr.ShardedProbe.cuckoo_shards_probe(bc,
+        Seen.shardFor(col("urlHash"), N_SHARDS), col("urlHash")))
       .agg(
         count(lit(1)).as("n_probed"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
@@ -78,12 +77,12 @@ object SeenOps {
       .select(col("o_orderkey"), xxhash64(col("o_orderkey").cast("string")).as("urlHash"))
     val shards = Seen.buildCuckooShards(keyed.select("urlHash"), N_SHARDS, 40000)
     val retired = keyed.filter(col("o_orderkey") % 10 === 0).select("urlHash")
-    val afterDelete = Seen.retireFromCuckoo(shards, retired, N_SHARDS)
+    val bc = s.sparkContext.broadcast(Seen.collectShardArray(
+      Seen.retireFromCuckoo(shards, retired, N_SHARDS), N_SHARDS))
     keyed
       .withColumn("wasRetired", col("o_orderkey") % 10 === 0)
-      .withColumn("shardId", Seen.shardFor(col("urlHash"), N_SHARDS))
-      .join(broadcast(afterDelete), Seq("shardId"))
-      .withColumn("hit", FilterExprs.cuckoo_contains(col("bits"), col("urlHash")))
+      .withColumn("hit", graft.expr.ShardedProbe.cuckoo_shards_probe(bc,
+        Seen.shardFor(col("urlHash"), N_SHARDS), col("urlHash")))
       .agg(
         sum(when(!col("wasRetired"), 1L).otherwise(0L)).as("n_retained"),
         sum(when(!col("wasRetired") && col("hit"), 1L).otherwise(0L)).as("n_retained_hit"),

@@ -19,12 +19,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(perQuery.values.forall(_ == 5), s"rows per query: $perQuery")
   }
 
-  test("mean recall@5 vs brute force >= 0.6 at sf0.01") {
-    val recalls = VectorOps.recallAt5(spark, sf001).collect()
-      .map(r => r.getDouble(1))
+  test("LSH: mean recall@5 vs brute force >= 0.6 at sf0.01") {
+    val recalls = VectorOps.recallAt5(VectorOps.lshTopk(spark, sf001), spark, sf001)
+      .collect().map(r => r.getDouble(1))
     val mean = recalls.sum / recalls.length
     assert(recalls.length == 8)
     assert(mean >= 0.6, f"mean recall@5 = $mean%.3f (per-query: ${recalls.mkString(", ")})")
+  }
+
+  test("IVF: mean recall@5 vs brute force >= 0.7 at sf0.01") {
+    val recalls = VectorOps.recallAt5(VectorOps.ivfTopk(spark, sf001), spark, sf001)
+      .collect().map(r => r.getDouble(1))
+    val mean = recalls.sum / recalls.length
+    assert(recalls.length == 8)
+    assert(mean >= 0.7, f"mean recall@5 = $mean%.3f (per-query: ${recalls.mkString(", ")})")
+  }
+
+  test("IVF inverted lists cover every vector exactly once at sf0.01") {
+    val lsh = VectorOps.ivfTopk(spark, sf001)
+    val perQuery = lsh.collect().groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.keySet == (0L until 8L).toSet && perQuery.values.forall(_ == 5))
   }
 
   test("dedup_embed_cosine is non-vacuous at sf0.01") {

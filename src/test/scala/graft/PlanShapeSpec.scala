@@ -85,8 +85,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val out = graft.crawl.Seen.filterNew(candidates, seen, shards, 4)
     out.collect()
     val p = out.queryExecution.executedPlan.toString
-    // The probe is a broadcast join (map-side, pre-shuffle)...
-    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // The probe is the zero-copy broadcast-array expression — a codegen'd
+    // Filter directly over the scan, not a join carrying shard bytes...
+    assert(p.contains("Filter NOT bloom_shards_probe"), p.take(1500))
     // ...and the exact layer is an anti join fed by the maybe-seen remainder.
     assert(p.contains("LeftAnti"), p.take(1500))
   }
@@ -105,11 +106,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // exact semantics: new = everything not in seen ∪ failed
     assert(rows.map(_.getLong(0)).sorted.toSeq == (60L until 100L).toSeq)
     val p = out.queryExecution.executedPlan.toString
-    // both probes are broadcast joins (map-side, pre-shuffle), and the
-    // probe expressions appear in the plan — not rewritten into shuffles
-    assert(p.contains("cuckoo_contains"), p.take(2000))
-    assert(p.contains("bloom_might_contain"), p.take(2000))
-    assert(!p.contains("SortMergeJoin(") || p.contains("LeftAnti"), p.take(2000))
+    // both probes are zero-copy broadcast-array expressions evaluated as
+    // codegen'd Filters over the scan (no probe joins carrying shard bytes;
+    // the only join is the exact anti-join backstop)
+    assert(p.contains("cuckoo_shards_probe"), p.take(2000))
+    assert(p.contains("Filter (NOT bloom_shards_probe"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
   }
 
   test("seen filter: the 10^10 shard-probe path shuffles, matches broadcast results") {
