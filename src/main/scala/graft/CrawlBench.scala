@@ -112,15 +112,21 @@ object CrawlBench {
       if (out.lineage.popped == 0) continue = false
       else {
         // Materialize the extracted-pages table — extraction is part of the
-        // measured pipeline (plain count() would let Catalyst prune X1/X2).
+        // measured pipeline (plain count() would let Catalyst prune X1/X2) —
+        // CONCURRENTLY with the state checkpoint: independent jobs, and
+        // serializing them adds pure per-round fixed cost.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
         val tx = System.nanoTime()
+        val ckptF = Future(Crawler.checkpointState(out.state, Some(state)))
         val pages = out.pages.persist(StorageLevel.MEMORY_AND_DISK)
         pages.agg(sum(length(col("itemText"))), sum(size(col("metrics")))).collect()
-        val tc = System.nanoTime()
-        state = Crawler.checkpointState(out.state)
+        state = Await.result(ckptF, Duration.Inf)
         if (sys.env.get("GRAFT_CRAWL_VERBOSE").contains("1")) System.err.println(
-          f"[round] r=$r popped=${out.lineage.popped} extract=${(tc - tx) / 1e9}%.2fs " +
-            f"ckpt=${(System.nanoTime() - tc) / 1e9}%.2fs total=${(System.nanoTime() - t0) / 1e9}%.2fs")
+          f"[round] r=$r popped=${out.lineage.popped} " +
+            f"extract+ckpt(overlapped)=${(System.nanoTime() - tx) / 1e9}%.2fs " +
+            f"total=${(System.nanoTime() - t0) / 1e9}%.2fs")
         times += RoundTime(r, out.lineage.popped, (System.nanoTime() - t0) / 1e9)
         pages.unpersist()
         out.unpersistCached()

@@ -109,11 +109,7 @@ object CrawlRound {
     // (seenExact + bloom); failures go to the DELETABLE subset (failed +
     // cuckoo) so they can later be retired for retry (Crawler.retryFailed).
     val okHashes = fetched.filter(col("status") === 200).select("urlHash")
-    val failRows = fetched.filter(col("status") =!= 200)
-      .select(col("url"), col("urlHash"), col("host"), col("priority"),
-        col("depth"), lit(round).as("failRound"))
     val seenExact2 = state.seenExact.unionByName(okHashes)
-    val failed2 = state.failed.unionByName(failRows)
     val deltaShards = Seen.buildBloomShards(
       okHashes, cfg.nShards, cfg.expectedKeysPerShard, cfg.bloomFpp)
     val bloomShards2 = state.bloomShards
@@ -123,18 +119,46 @@ object CrawlRound {
         col("shardId"),
         coalesce(bloom_or(col("bitsOld"), col("bits")), col("bitsOld"), col("bits")).as("bits"),
         (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
-    val deltaCuckoo = Seen.buildCuckooShards(
-      failRows.select("urlHash"), cfg.nShards, cfg.expectedKeysPerShard)
-    val cuckooShards2 = state.cuckooShards
-      .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
-      .join(deltaCuckoo, Seq("shardId"), "full_outer")
-      .select(
-        col("shardId"),
-        coalesce(FilterExprs.cuckoo_merge(col("bitsOld"), col("bits")),
-          col("bitsOld"), col("bits")).as("bits"),
-        (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
+    // The failure/cuckoo side updates ONLY when this round actually failed
+    // fetches (nFailed is already known from the fetch-stage counters):
+    // returning the state tables by REFERENCE otherwise keeps the deletable
+    // subset correct while skipping a delta-build job + merge + checkpoint
+    // per round — per-round fixed cost is the serial fraction that caps
+    // scaling efficiency at high parallelism (Amdahl), so no-op rounds must
+    // cost nothing.
+    val nFailed = nPopped - nFetched
+    val (failed2, cuckooShards2) =
+      if (nFailed == 0L) (state.failed, state.cuckooShards)
+      else {
+        val failRows = fetched.filter(col("status") =!= 200)
+          .select(col("url"), col("urlHash"), col("host"), col("priority"),
+            col("depth"), lit(round).as("failRound"))
+        val deltaCuckoo = Seen.buildCuckooShards(
+          failRows.select("urlHash"), cfg.nShards, cfg.expectedKeysPerShard)
+        val merged = state.cuckooShards
+          .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
+          .join(deltaCuckoo, Seq("shardId"), "full_outer")
+          .select(
+            col("shardId"),
+            coalesce(FilterExprs.cuckoo_merge(col("bitsOld"), col("bits")),
+              col("bitsOld"), col("bits")).as("bits"),
+            (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
+        (state.failed.unionByName(failRows), merged)
+      }
 
-    // Frontier expansion with dedup-before-shuffle.
+    // Frontier expansion with dedup-before-shuffle. The shard-table
+    // collects (independent Spark jobs whose only input is the popped
+    // cache) run CONCURRENTLY with the expansion count — serial driver
+    // time between actions is per-round fixed cost, the Amdahl fraction
+    // that caps scaling efficiency at high parallelism.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val shardArraysF =
+      if (cfg.broadcastBloomProbe) Some((
+        Future(Seen.collectShardArray(bloomShards2, cfg.nShards)),
+        Future(Seen.collectShardArray(cuckooShards2, cfg.nShards))))
+      else None
     val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val rawParts = timed("expand") {
       rawCandidates.groupBy(spark_partition_id().as("pid"))
@@ -147,9 +171,18 @@ object CrawlRound {
     // remaining ∪ popped and popped ⊆ seen (already excluded by filterNew),
     // so the result is identical — but the input frontier needs no
     // recomputation.
-    val newEntries = Seen.filterNew(allowed, seenExact2, bloomShards2,
-      cfg.nShards, cfg.broadcastBloomProbe,
-      failedHashes = Some(failed2), cuckooShards = Some(cuckooShards2))
+    val deduped = shardArraysF match {
+      case Some((bloomF, cuckooF)) =>
+        Seen.filterNewWithArrays(allowed, seenExact2,
+          Await.result(bloomF, Duration.Inf),
+          Some(Await.result(cuckooF, Duration.Inf)),
+          failedHashes = Some(failed2), nShards = cfg.nShards)
+      case None =>
+        Seen.filterNew(allowed, seenExact2, bloomShards2,
+          cfg.nShards, broadcastProbe = false,
+          failedHashes = Some(failed2), cuckooShards = Some(cuckooShards2))
+    }
+    val newEntries = deduped
       .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")

@@ -23,14 +23,25 @@ object Crawler {
     * independent jobs, and running them serially adds three job-launch
     * latencies to every round (pure driver-side fixed cost that would never
     * amortize, at any cluster size). */
-  def checkpointState(s: CrawlRound.State): CrawlRound.State = {
+  def checkpointState(s: CrawlRound.State,
+                      prev: Option[CrawlRound.State] = None): CrawlRound.State = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = Seq(s.frontier, s.seenExact, s.bloomShards, s.failed, s.cuckooShards)
-      .map(df => Future(df.localCheckpoint(true)))
-    val Seq(f, se, bs, fl, ck) = Await.result(Future.sequence(fs), Duration.Inf)
-    CrawlRound.State(f, se, bs, fl, ck)
+    // A table CrawlRound returned BY REFERENCE from the previous
+    // (already-checkpointed) state is unchanged — re-checkpointing it
+    // would be a pure fixed-cost job (the failure-side tables are
+    // unchanged on every clean round).
+    def ck(df: DataFrame, prevDf: Option[DataFrame]) =
+      if (prevDf.exists(_ eq df)) Future.successful(df)
+      else Future(df.localCheckpoint(true))
+    val Seq(f, se, bs, fl, cks) = Await.result(Future.sequence(Seq(
+      ck(s.frontier, prev.map(_.frontier)),
+      ck(s.seenExact, prev.map(_.seenExact)),
+      ck(s.bloomShards, prev.map(_.bloomShards)),
+      ck(s.failed, prev.map(_.failed)),
+      ck(s.cuckooShards, prev.map(_.cuckooShards)))), Duration.Inf)
+    CrawlRound.State(f, se, bs, fl, cks)
   }
 
   def emptySeen(spark: SparkSession): DataFrame = {
@@ -118,7 +129,7 @@ object Crawler {
             col("url"), col("urlHash"), col("priority"), col("depth"))
           .localCheckpoint(true)
         lineages += out.lineage
-        state = Crawler.checkpointState(out.state)
+        state = Crawler.checkpointState(out.state, Some(state))
         out.unpersistCached()
       }
       r += 1

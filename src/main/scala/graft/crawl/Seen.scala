@@ -72,12 +72,55 @@ object Seen {
   /** Collect a (shardId, bits, …) shard table into a dense array indexed
     * by shardId (missing shards stay null = empty), ready to broadcast for
     * the zero-copy probe expressions. Driver-side size = the full shard
-    * table — only for the broadcast-probe regime. */
+    * table — only for the broadcast-probe regime. Callers on a hot path
+    * can run this inside a Future CONCURRENTLY with other driver actions
+    * (it is an independent Spark job) and hand the array to
+    * [[probeWithArrays]]. */
   def collectShardArray(shards: DataFrame, nShards: Int): Array[Array[Byte]] = {
     val arr = new Array[Array[Byte]](nShards)
     shards.select("shardId", "bits").collect()
       .foreach(r => arr(r.getInt(0)) = r.getAs[Array[Byte]](1))
     arr
+  }
+
+  /** Add `maybe_seen` from pre-collected shard arrays (zero-copy probe
+    * expressions — see graft.expr.ShardedProbe). An all-empty cuckoo array
+    * (no standing failures) contributes nothing — its probe term and
+    * broadcast are skipped entirely. */
+  def probeWithArrays(candidates: DataFrame, bloomArr: Array[Array[Byte]],
+                      cuckooArr: Option[Array[Array[Byte]]],
+                      nShards: Int): DataFrame = {
+    val sc = candidates.sparkSession.sparkContext
+    val sid = shardFor(col("urlHash"), nShards)
+    val bloomHit = graft.expr.ShardedProbe.bloom_shards_probe(
+      sc.broadcast(bloomArr), sid, col("urlHash"))
+    val hit = cuckooArr.filter(_.exists(_ != null)) match {
+      case Some(arr) =>
+        bloomHit || graft.expr.ShardedProbe.cuckoo_shards_probe(
+          sc.broadcast(arr), sid, col("urlHash"))
+      case None => bloomHit
+    }
+    candidates.withColumn("maybe_seen", hit)
+  }
+
+  /** The bloom-then-exact dedup from PRE-COLLECTED shard arrays — the
+    * crawl-round hot path, where the shard collects run concurrently with
+    * the expansion count (independent jobs; per-round serial driver time is
+    * the Amdahl fraction that caps scaling efficiency). */
+  def filterNewWithArrays(candidates: DataFrame, seenExact: DataFrame,
+                          bloomArr: Array[Array[Byte]],
+                          cuckooArr: Option[Array[Array[Byte]]],
+                          failedHashes: Option[DataFrame],
+                          nShards: Int): DataFrame = {
+    val probed = probeWithArrays(candidates, bloomArr, cuckooArr, nShards)
+    val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
+    val exact = failedHashes match {
+      case Some(f) => seenExact.select("urlHash").unionByName(f.select("urlHash"))
+      case None => seenExact.select("urlHash")
+    }
+    val confirmedNew = probed.filter(col("maybe_seen")).drop("maybe_seen")
+      .join(exact, Seq("urlHash"), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
   }
 
   /** Candidates → the definitely-new subset, using bloom-then-exact.
@@ -106,21 +149,10 @@ object Seen {
                 failedHashes: Option[DataFrame] = None,
                 cuckooShards: Option[DataFrame] = None): DataFrame = {
     val probed =
-      if (broadcastProbe) {
-        val sc = candidates.sparkSession.sparkContext
-        val sid = shardFor(col("urlHash"), nShards)
-        val bloomBc = sc.broadcast(collectShardArray(bloomShards, nShards))
-        val bloomHit =
-          graft.expr.ShardedProbe.bloom_shards_probe(bloomBc, sid, col("urlHash"))
-        val hit = cuckooShards match {
-          case Some(ck) =>
-            val ckBc = sc.broadcast(collectShardArray(ck, nShards))
-            bloomHit ||
-              graft.expr.ShardedProbe.cuckoo_shards_probe(ckBc, sid, col("urlHash"))
-          case None => bloomHit
-        }
-        candidates.withColumn("maybe_seen", hit)
-      } else {
+      if (broadcastProbe)
+        probeWithArrays(candidates, collectShardArray(bloomShards, nShards),
+          cuckooShards.map(collectShardArray(_, nShards)), nShards)
+      else {
         def probeJoin(cands: DataFrame, shards: DataFrame) =
           cands.join(shards.hint("shuffle_hash"), Seq("shardId"), "left")
         val withShard = candidates.withColumn("shardId", shardFor(col("urlHash"), nShards))

@@ -46,7 +46,7 @@ class CuckooRetireSpec extends AnyFunSuite {
     var st = state0
     for (r <- from until from + n) {
       val out = CrawlRound.run(spark, st, robots, noBudgets, 8, fetcher, r, cfg)
-      st = Crawler.checkpointState(out.state)
+      st = Crawler.checkpointState(out.state, Some(st))
       out.unpersistCached()
     }
     st
