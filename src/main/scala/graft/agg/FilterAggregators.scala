@@ -19,10 +19,12 @@ class BloomShardAggregator(expectedKeys: Long, fpp: Double)
   override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 
-/** A6 — cuckoo-shard build (deletable membership). */
-class CuckooShardAggregator(expectedKeys: Long)
+/** A6 — cuckoo-shard build (deletable membership). Geometry is explicit
+  * (bucket count) so delta shards always match the standing shard they
+  * merge into, even after an overflow rebuild enlarged it. */
+class CuckooShardAggregator(numBuckets: Int)
     extends Aggregator[Long, GraftCuckooFilter, Array[Byte]] {
-  override def zero: GraftCuckooFilter = GraftCuckooFilter.create(expectedKeys)
+  override def zero: GraftCuckooFilter = GraftCuckooFilter.createBuckets(numBuckets)
   override def reduce(b: GraftCuckooFilter, key: Long): GraftCuckooFilter = {
     require(b.insert(key), "cuckoo shard overflow — raise expectedKeys"); b
   }
@@ -41,5 +43,8 @@ object FilterAggregators {
     udaf(new BloomShardAggregator(expectedKeys, fpp), Encoders.scalaLong).apply(key)
 
   def cuckoo_agg(expectedKeys: Long)(key: Column): Column =
-    udaf(new CuckooShardAggregator(expectedKeys), Encoders.scalaLong).apply(key)
+    cuckoo_agg_buckets(GraftCuckooFilter.bucketsFor(expectedKeys))(key)
+
+  def cuckoo_agg_buckets(numBuckets: Int)(key: Column): Column =
+    udaf(new CuckooShardAggregator(numBuckets), Encoders.scalaLong).apply(key)
 }

@@ -133,17 +133,50 @@ object CrawlRound {
         val failRows = fetched.filter(col("status") =!= 200)
           .select(col("url"), col("urlHash"), col("host"), col("priority"),
             col("depth"), lit(round).as("failRound"))
-        val deltaCuckoo = Seen.buildCuckooShards(
-          failRows.select("urlHash"), cfg.nShards, cfg.expectedKeysPerShard)
-        val merged = state.cuckooShards
-          .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
-          .join(deltaCuckoo, Seq("shardId"), "full_outer")
-          .select(
-            col("shardId"),
-            coalesce(FilterExprs.cuckoo_merge(col("bitsOld"), col("bits")),
-              col("bitsOld"), col("bits")).as("bits"),
-            (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
-        (state.failed.unionByName(failRows), merged)
+        // Sizing guard BEFORE the merge: the standing geometry is fixed at
+        // build time while the failed set accumulates across rounds, so an
+        // unguarded incremental merge would eventually overflow a shard
+        // (CuckooMergeOverflow). One tiny job over ≤nShards rows reads the
+        // standing geometry (from length(bits) — no deserialization) and
+        // the worst post-merge per-shard load; only failing rounds pay it.
+        val deltaCounts = failRows
+          .groupBy(Seen.shardFor(col("urlHash"), cfg.nShards).as("shardId"))
+          .agg(count(lit(1)).as("nNew"))
+        val guard = state.cuckooShards
+          .select(col("shardId"), col("numKeys").as("nOld"), length(col("bits")).as("len"))
+          .join(deltaCounts, Seq("shardId"), "full_outer")
+          .agg(max(col("len")).as("len"),
+            max(coalesce(col("nOld"), lit(0L)) + coalesce(col("nNew"), lit(0L))).as("projMax"))
+          .head()
+        val standingBuckets =
+          if (guard.isNullAt(0)) None
+          else Some(graft.filters.GraftCuckooFilter.bucketsOfSerializedLength(guard.getInt(0)))
+        val projMax = guard.getLong(1)
+        val slots = graft.filters.GraftCuckooFilter.SLOTS
+        val f2 = state.failed.unionByName(failRows)
+        val merged = standingBuckets match {
+          case Some(b) if projMax <= b.toLong * slots * 85 / 100 =>
+            // Headroom confirmed (merge's eviction cascade reaches ~95%
+            // load; 85% is the guard margin): incremental shard merge.
+            val deltaCuckoo = Seen.buildCuckooShardsWithBuckets(
+              failRows.select("urlHash"), cfg.nShards, b)
+            state.cuckooShards
+              .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
+              .join(deltaCuckoo, Seq("shardId"), "full_outer")
+              .select(
+                col("shardId"),
+                coalesce(FilterExprs.cuckoo_merge(col("bitsOld"), col("bits")),
+                  col("bitsOld"), col("bits")).as("bits"),
+                (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
+          case _ =>
+            // First failures, or projected load breaches the margin:
+            // (re)build every shard from the exact failed table with
+            // geometry sized from ACTUAL counts (2× headroom) — never
+            // smaller than the configured default.
+            Seen.buildCuckooShards(f2.select("urlHash"), cfg.nShards,
+              math.max(cfg.expectedKeysPerShard, projMax * 2))
+        }
+        (f2, merged)
       }
 
     // Frontier expansion with dedup-before-shuffle. The shard-table

@@ -42,11 +42,19 @@ object Seen {
     * aggregate anywhere in the cuckoo path. */
   def buildCuckooShards(hashes: DataFrame, nShards: Int,
                         expectedPerShard: Long): DataFrame =
+    buildCuckooShardsWithBuckets(hashes, nShards,
+      graft.filters.GraftCuckooFilter.bucketsFor(expectedPerShard))
+
+  /** Explicit-geometry build — delta shards must match the STANDING
+    * shard's bucket count for merge, which can exceed the configured
+    * default after an overflow rebuild (CrawlRound's sizing guard). */
+  def buildCuckooShardsWithBuckets(hashes: DataFrame, nShards: Int,
+                                   numBuckets: Int): DataFrame =
     hashes
       .withColumn("shardId", shardFor(col("urlHash"), nShards))
       .groupBy("shardId")
       .agg(
-        FilterAggregators.cuckoo_agg(expectedPerShard)(col("urlHash")).as("bits"),
+        FilterAggregators.cuckoo_agg_buckets(numBuckets)(col("urlHash")).as("bits"),
         count(lit(1)).as("numKeys"))
 
   /** Retire a batch of hashes from the cuckoo shards (the delete path —

@@ -40,12 +40,16 @@ case class BloomShardsProbeExpr(shards: Broadcast[Array[Array[Byte]]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomShardsBc", shards,
       classOf[Broadcast[Array[Array[Byte]]]].getName)
+    // freshName per Spark codegen convention: under CSE/codegen splitting two
+    // probes can share a scope, so fixed identifiers would collide.
+    val arr = ctx.freshName("shardArr")
+    val bits = ctx.freshName("shardBits")
     nullSafeCodeGen(ctx, ev, (sid, key) =>
       s"""
-         |byte[][] graft_arr = (byte[][]) $ref.value();
-         |byte[] graft_bits = ($sid >= 0 && $sid < graft_arr.length) ? graft_arr[$sid] : null;
-         |${ev.value} = graft_bits != null &&
-         |  graft.filters.GraftBloomFilter.mightContainSerialized(graft_bits, $key);
+         |byte[][] $arr = (byte[][]) $ref.value();
+         |byte[] $bits = ($sid >= 0 && $sid < $arr.length) ? $arr[$sid] : null;
+         |${ev.value} = $bits != null &&
+         |  graft.filters.GraftBloomFilter.mightContainSerialized($bits, $key);
        """.stripMargin)
   }
 
@@ -72,12 +76,14 @@ case class CuckooShardsProbeExpr(shards: Broadcast[Array[Array[Byte]]],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cuckooShardsBc", shards,
       classOf[Broadcast[Array[Array[Byte]]]].getName)
+    val arr = ctx.freshName("shardArr")
+    val bits = ctx.freshName("shardBits")
     nullSafeCodeGen(ctx, ev, (sid, key) =>
       s"""
-         |byte[][] graft_arr = (byte[][]) $ref.value();
-         |byte[] graft_bits = ($sid >= 0 && $sid < graft_arr.length) ? graft_arr[$sid] : null;
-         |${ev.value} = graft_bits != null &&
-         |  graft.filters.GraftCuckooFilter.containsSerialized(graft_bits, $key);
+         |byte[][] $arr = (byte[][]) $ref.value();
+         |byte[] $bits = ($sid >= 0 && $sid < $arr.length) ? $arr[$sid] : null;
+         |${ev.value} = $bits != null &&
+         |  graft.filters.GraftCuckooFilter.containsSerialized($bits, $key);
        """.stripMargin)
   }
 

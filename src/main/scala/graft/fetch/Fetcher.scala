@@ -119,14 +119,23 @@ class GenerativeFetcher(nUrls: Long, seed: Long, nHosts: Int, fanout: Int,
   * inherently non-reproducible, so the byte-determinism golden tests only
   * ever run against the corpus/generative fetchers.
   *
+  * Output semantics match the other fetchers' schema contract: `html` is
+  * the raw body bytes, `text` is the HTML-STRIPPED body (same strip chain
+  * the corpus fetchers use — the extraction stage consumes `text` and
+  * expects tags gone), `lang` is null (language-ID is the pipeline's
+  * text_lang_id stage, not the fetcher's). The body is decoded with the
+  * charset the Content-Type header declares, UTF-8 as fallback.
+  *
   * Scale shape: fetch cost is per-popped-row and embarrassingly parallel
   * (no scan, no shuffle, no broadcast); `concurrencyPerPartition` bounds
   * in-flight requests per task so executors-per-host politeness composes
   * with the frontier's per-host budgets rather than multiplying them. NOT
   * exercisable in this sandbox (no egress): covered by a schema/laziness
-  * test only. */
+  * test plus unit tests of the charset/strip helpers. */
 class HttpFetcher(timeoutMs: Int = 10000, concurrencyPerPartition: Int = 8,
                   userAgent: String = "graft-crawler/1.0") extends Fetcher {
+  import scala.util.control.NonFatal
+
   override def fetch(popped: DataFrame): DataFrame = {
     val spark = popped.sparkSession
     import spark.implicits._
@@ -146,7 +155,7 @@ class HttpFetcher(timeoutMs: Int = 10000, concurrencyPerPartition: Int = 8,
                 .header("User-Agent", ua).GET().build()
               Some(client.sendAsync(r,
                 java.net.http.HttpResponse.BodyHandlers.ofByteArray()))
-            } catch { case _: Throwable => None }
+            } catch { case NonFatal(_) => None }
           (e, req)
         }
         futures.map { case (e, fOpt) =>
@@ -154,15 +163,42 @@ class HttpFetcher(timeoutMs: Int = 10000, concurrencyPerPartition: Int = 8,
           fOpt.flatMap { f =>
             try {
               val resp = f.get(tmo.toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
+              val body = resp.body()
+              val cs = HttpFetcher.charsetOf(
+                resp.headers().firstValue("content-type").orElse(null))
               Some(FetchedPage(e.url, e.urlHash, e.host, e.priority, e.depth,
-                e.round, e.popRank, resp.statusCode(), now, resp.body(),
-                new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8),
+                e.round, e.popRank, resp.statusCode(), now, body,
+                graft.fixtures.SyntheticCorpus.stripHtml(new String(body, cs)),
                 null))
-            } catch { case _: Throwable => None }
+            } catch {
+              case ie: InterruptedException =>
+                // never swallow a task kill as a fetch failure
+                Thread.currentThread().interrupt(); throw ie
+              case NonFatal(_) => None
+            }
           }.getOrElse(FetchedPage(e.url, e.urlHash, e.host, e.priority, e.depth,
             e.round, e.popRank, 599, now, null, null, null))
         }
       }
     }.toDF()
+  }
+}
+
+object HttpFetcher {
+  /** Charset declared by a Content-Type header value, UTF-8 fallback
+    * (unknown/illegal charset names also fall back — a bad header must not
+    * fail the fetch). */
+  def charsetOf(contentType: String): java.nio.charset.Charset = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (contentType == null) utf8
+    else contentType.split(';').map(_.trim).collectFirst {
+      case p if p.toLowerCase.startsWith("charset=") =>
+        p.substring("charset=".length).trim.stripPrefix("\"").stripSuffix("\"")
+    } match {
+      case Some(name) =>
+        try java.nio.charset.Charset.forName(name)
+        catch { case scala.util.control.NonFatal(_) => utf8 }
+      case None => utf8
+    }
   }
 }

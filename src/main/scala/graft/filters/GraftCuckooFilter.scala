@@ -89,7 +89,40 @@ final class GraftCuckooFilter private (
     false
   }
 
-  /** Merge by re-inserting the other's fingerprints (needs headroom). */
+  /** Insert a bare fingerprint whose primary candidate bucket is `b0` —
+    * the merge path, where the original key is gone. Runs the SAME
+    * eviction cascade as [[insert]] (victim choice deterministic from the
+    * fingerprint instead of the key), so a merge reaches the same ~95%
+    * load a direct build does instead of failing at the first full
+    * bucket pair. Placement-deterministic; membership-equivalent either
+    * way (b0 and altBucket(b0,fp) are an involution pair). */
+  private def insertFp(fp0: Short, b0: Int): Boolean = {
+    if (slotInsert(b0, fp0)) { count += 1; return true }
+    val bAlt = altBucket(b0, fp0)
+    if (slotInsert(bAlt, fp0)) { count += 1; return true }
+    var curFp = fp0
+    var curB = if ((GraftBloomFilter.mix(fp0.toLong ^ 0xe1) & 1L) == 0L) b0 else bAlt
+    var n = 0
+    while (n < MAX_KICKS) {
+      val victim = (GraftBloomFilter.mix(fp0.toLong + n).toInt & 0x7fffffff) % SLOTS
+      val idx = curB * SLOTS + victim
+      val evicted = table(idx)
+      table(idx) = curFp
+      curFp = evicted
+      curB = altBucket(curB, curFp)
+      if (slotInsert(curB, curFp)) { count += 1; return true }
+      n += 1
+    }
+    false
+  }
+
+  /** Merge by re-inserting the other's fingerprints WITH the full eviction
+    * cascade. Throws [[CuckooMergeOverflow]] (not a bare require-crash)
+    * when a fingerprint cannot be placed after MAX_KICKS — callers
+    * (CrawlRound) size proactively from the tracked per-shard key counts
+    * and rebuild from the exact failed table with larger geometry before
+    * this can fire; the exception is the backstop, with enough context to
+    * diagnose a sizing bug. */
   def merge(other: GraftCuckooFilter): GraftCuckooFilter = {
     require(other.numBuckets == numBuckets, "incompatible cuckoo shards")
     var b = 0
@@ -97,13 +130,11 @@ final class GraftCuckooFilter private (
       var s = 0
       while (s < SLOTS) {
         val fp = other.table(b * SLOTS + s)
-        if (fp != 0) {
-          if (!slotInsert(b, fp)) {
-            val alt = altBucket(b, fp)
-            require(slotInsert(alt, fp), "cuckoo merge overflow — size shards larger")
-          }
-          count += 1
-        }
+        if (fp != 0 && !insertFp(fp, b))
+          throw new CuckooMergeOverflow(
+            f"cuckoo merge overflow: $count keys in ${numBuckets * SLOTS} slots " +
+              f"(load ${count.toDouble / (numBuckets * SLOTS)}%.2f) — " +
+              "rebuild the shard from the exact table with larger geometry")
         s += 1
       }
       b += 1
@@ -119,18 +150,41 @@ final class GraftCuckooFilter private (
   }
 }
 
+/** Merge could not place a fingerprint even after the full eviction
+  * cascade — the shard must be rebuilt from its exact table with larger
+  * geometry (CrawlRound does this proactively from tracked key counts;
+  * seeing this exception means the sizing guard has a bug). */
+final class CuckooMergeOverflow(msg: String) extends RuntimeException(msg)
+
 object GraftCuckooFilter {
   final val MAGIC = 0x47434631 // "GCF1"
   final val SLOTS = 4
   final val MAX_KICKS = 500
   private final val HEADER = 4 + 4 + 8
 
-  /** Sized for ~95% max load: buckets = nextPow2(expected / (SLOTS·0.95)). */
-  def create(expectedKeys: Long): GraftCuckooFilter = {
+  /** Bucket count (power of two) that [[create]] picks for `expectedKeys`. */
+  def bucketsFor(expectedKeys: Long): Int = {
     val needed = math.max(1L, math.ceil(expectedKeys / (SLOTS * 0.95)).toLong)
-    val buckets = java.lang.Long.highestOneBit(needed * 2 - 1).toInt.max(1)
-    new GraftCuckooFilter(buckets, new Array[Short](buckets * SLOTS), 0L)
+    java.lang.Long.highestOneBit(needed * 2 - 1).toInt.max(1)
   }
+
+  /** Slot capacity of the geometry [[create]] picks for `expectedKeys`. */
+  def capacityFor(expectedKeys: Long): Long = bucketsFor(expectedKeys).toLong * SLOTS
+
+  /** Sized for ~95% max load: buckets = nextPow2(expected / (SLOTS·0.95)). */
+  def create(expectedKeys: Long): GraftCuckooFilter = createBuckets(bucketsFor(expectedKeys))
+
+  /** Explicit geometry — delta shards must match the standing shard's
+    * bucket count for merge, even after a rebuild enlarged it. */
+  def createBuckets(numBuckets: Int): GraftCuckooFilter = {
+    require(Integer.bitCount(numBuckets) == 1, "numBuckets must be a power of two")
+    new GraftCuckooFilter(numBuckets, new Array[Short](numBuckets * SLOTS), 0L)
+  }
+
+  /** Recover the bucket count from a serialized shard's byte length — how
+    * CrawlRound learns the standing geometry without deserializing (the
+    * length is visible to `length(bits)` in a column scan). */
+  def bucketsOfSerializedLength(len: Int): Int = (len - HEADER) / (2 * SLOTS)
 
   /** Zero-copy membership probe against the serialized form (read path —
     * mirrors the instance `contains`, bit for bit). */

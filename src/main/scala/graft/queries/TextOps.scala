@@ -183,13 +183,16 @@ object TextOps {
     // fixed-width longs instead of ~25-byte strings. Same Jaccard (a
     // distinct-set measure; a 64-bit collision INSIDE one pair would be
     // needed to move it, P ≈ |grams|²/2^64), pinned equal to the
-    // string-space brute force by NgramJaccardSpec. Persisted: consumed
-    // three times (inverted index + both sides of the exact-verify join).
-    val sh = documents(s, d)
-      .select(col("doc_id"),
-        graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .persist()
+    // string-space brute force by NgramJaccardSpec. Memoized per session
+    // (SessionCache — one persisted copy, not one per invocation):
+    // consumed three times (inverted index + both sides of the
+    // exact-verify join).
+    val sh = SessionCache.df(s, s"jaccard_grams:$d") {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0)
+    }
     val exploded = sh.select(
       col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
     // Global rarity order: df per shingle, then (df, gram) as the canonical
@@ -256,17 +259,19 @@ object TextOps {
   private val dedupMinhash = Q.noOracle("dedup_minhash") { (s, d) =>
     val rowsPerBand = MINHASH_K / LSH_BANDS
     // The narrow (doc_id, sig) table is consumed twice downstream (cap
-    // count + pair join); persist it so the shingle+hash pass — the
-    // expensive part — runs once. Tiny: one row per doc, K longs each.
+    // count + pair join); memoized per session (SessionCache) so the
+    // shingle+hash pass — the expensive part — runs once and repeat
+    // invocations reuse it. Tiny: one row per doc, K longs each.
     // Shingles come pre-hashed from word_shingles64; the K-seeded minhash
     // family re-hashes the longs (an equally valid MinHash family, and
     // seeded long-hashing is far cheaper than seeded string-hashing).
-    val sig = documents(s, d)
-      .select(col("doc_id"),
-        graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
-      .persist()
+    val sig = SessionCache.df(s, s"minhash_sig:$d") {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0)
+        .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+    }
     val banded = sig.select(
       col("doc_id"), col("sig"),
       posexplode(array((0 until LSH_BANDS).map { b =>

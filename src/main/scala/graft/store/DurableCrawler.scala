@@ -43,17 +43,35 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   def lastCompleteRound: Option[Int] =
     if (Files.exists(logPointer)) Some(Files.readString(logPointer).trim.toInt) else None
 
+  /** Round-log format version. v1 had no failedV/cuckooV (the deletable
+    * seen-subset landed later); missing fields read as NO_TABLE so a store
+    * written by the old format resumes with empty failed/cuckoo state
+    * instead of NPE-ing. Unknown FUTURE versions fail fast with a clear
+    * message rather than misreading fields. */
+  private val FORMAT_VERSION = 2
+  private val NO_TABLE = Long.MinValue
+
+  private def optLong(n: com.fasterxml.jackson.databind.JsonNode, field: String): Long = {
+    val v = n.get(field)
+    if (v == null || v.isNull) NO_TABLE else v.asLong()
+  }
+
   private def entry(round: Int): RoundEntry = {
     val n = mapper.readTree(Files.readString(logDir.resolve(s"round-$round.json")))
+    val fmt = if (n.has("format")) n.get("format").asInt() else 1
+    require(fmt <= FORMAT_VERSION,
+      s"round-$round.json has format $fmt, newer than this build's $FORMAT_VERSION — " +
+        "refusing to misread a future round-log")
     RoundEntry(n.get("round").asInt(), n.get("frontierV").asLong(),
       n.get("seenV").asLong(), n.get("shardsV").asLong(),
-      n.get("failedV").asLong(), n.get("cuckooV").asLong(),
+      optLong(n, "failedV"), optLong(n, "cuckooV"),
       n.get("pagesV").asLong(), n.get("lineageV").asLong())
   }
 
   private def writeEntry(e: RoundEntry): Unit = {
     Files.createDirectories(logDir)
     val node = mapper.createObjectNode()
+    node.put("format", FORMAT_VERSION)
     node.put("round", e.round)
     node.put("frontierV", e.frontierV); node.put("seenV", e.seenV)
     node.put("shardsV", e.shardsV)
@@ -72,8 +90,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       frontier = frontier.read(e.frontierV),
       seenExact = seen.read(e.seenV),
       bloomShards = shards.read(e.shardsV),
-      failed = failed.read(e.failedV),
-      cuckooShards = cuckoo.read(e.cuckooV))
+      failed = if (e.failedV == NO_TABLE) Crawler.emptyFailed(spark) else failed.read(e.failedV),
+      cuckooShards = if (e.cuckooV == NO_TABLE) Crawler.emptyShards(spark) else cuckoo.read(e.cuckooV))
   }
 
   /** Round "-1": the seed state. Idempotent — safe to call on an

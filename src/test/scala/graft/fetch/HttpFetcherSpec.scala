@@ -29,4 +29,14 @@ class HttpFetcherSpec extends AnyFunSuite {
     assert(rows.length == 1)
     assert(rows.head.getAs[Int]("status") == 599)
   }
+
+  test("charset derives from Content-Type, UTF-8 fallback on absent/garbage") {
+    import java.nio.charset.StandardCharsets._
+    assert(HttpFetcher.charsetOf(null) == UTF_8)
+    assert(HttpFetcher.charsetOf("text/html") == UTF_8)
+    assert(HttpFetcher.charsetOf("text/html; charset=ISO-8859-1") == ISO_8859_1)
+    assert(HttpFetcher.charsetOf("text/html;charset=\"utf-16\"") == UTF_16)
+    assert(HttpFetcher.charsetOf("text/html; charset=no-such-charset") == UTF_8)
+    assert(HttpFetcher.charsetOf("text/html; boundary=x; charset=US-ASCII") == US_ASCII)
+  }
 }

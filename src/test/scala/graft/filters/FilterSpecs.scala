@@ -91,6 +91,41 @@ class CuckooFilterSpec extends AnyFunSuite {
       assert(GraftCuckooFilter.containsSerialized(bytes, k) == f.contains(k))
     }
   }
+
+  test("merge runs the eviction cascade: repeated merges fill to ~85% load") {
+    // 64 buckets = 256 slots; 4 successive 54-key deltas merge in → 84%
+    // final load. Without kick/relocation (round-2 behavior) this crashes
+    // well below nominal load on the first full bucket pair.
+    val target = GraftCuckooFilter.createBuckets(64)
+    val total = scala.collection.mutable.ArrayBuffer[Long]()
+    for (d <- 0 until 4) {
+      val delta = GraftCuckooFilter.createBuckets(target.numBuckets)
+      val ks = keys(100 + d, 54)
+      ks.foreach(k => assert(delta.insert(k)))
+      target.merge(delta)
+      total ++= ks
+    }
+    assert(total.forall(target.contains), "merge lost a key")
+    assert(target.numEntries == total.length)
+  }
+
+  test("merge overflow is the typed CuckooMergeOverflow, not a bare require") {
+    val target = GraftCuckooFilter.createBuckets(8) // 32 slots
+    val k1 = keys(200, 30)
+    k1.foreach(target.insert)
+    val delta = GraftCuckooFilter.createBuckets(8)
+    keys(300, 30).foreach(delta.insert)
+    intercept[CuckooMergeOverflow] { target.merge(delta) }
+  }
+
+  test("geometry round-trips through the serialized length") {
+    for (expected <- Seq(1L, 100L, 5000L, 1000000L)) {
+      val f = GraftCuckooFilter.create(expected)
+      assert(GraftCuckooFilter.bucketsOfSerializedLength(f.serialize().length)
+        == f.numBuckets)
+      assert(GraftCuckooFilter.capacityFor(expected) == f.numBuckets.toLong * GraftCuckooFilter.SLOTS)
+    }
+  }
 }
 
 class SeenPipelineSpec extends AnyFunSuite {

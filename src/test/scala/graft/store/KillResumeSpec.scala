@@ -85,6 +85,48 @@ class KillResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("v1 round-log (no failedV/cuckooV fields) resumes with empty deletable state, no NPE") {
+    val (budgets, default) = budgetsAndDefault
+    val root = Files.createTempDirectory("crawlV1").toString
+    val d = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    d.init(seeds, robots)
+    d.runRounds(1, fetcher, robots, budgets, default)
+    // Rewrite every round-log entry to the v1 shape: strip the format tag
+    // and the failedV/cuckooV fields the old format never wrote.
+    val logDir = java.nio.file.Paths.get(root, "roundlog")
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("round-")).foreach { p =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = mapper.readTree(Files.readString(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        n.remove("format"); n.remove("failedV"); n.remove("cuckooV")
+        Files.writeString(p, n.toString)
+      }
+    val resumed = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    assert(resumed.lastCompleteRound.contains(1))
+    val st = resumed.currentState() // v2 reader on v1 entries: must not NPE
+    assert(st.failed.count() == 0L && st.cuckooShards.count() == 0L)
+    resumed.runRounds(2, fetcher, robots, budgets, default) // and keeps crawling
+    assert(resumed.lastCompleteRound.contains(2))
+  }
+
+  test("a FUTURE round-log format is refused with a clear message, not misread") {
+    val (budgets, default) = budgetsAndDefault
+    val root = Files.createTempDirectory("crawlVN").toString
+    val d = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    d.init(seeds, robots)
+    d.runRounds(0, fetcher, robots, budgets, default)
+    val p = java.nio.file.Paths.get(root, "roundlog", "round-0.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("format", 99)
+    Files.writeString(p, n.toString)
+    val resumed = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    val e = intercept[IllegalArgumentException] { resumed.currentState() }
+    assert(e.getMessage.contains("format 99"))
+  }
+
   test("durable run reproduces the in-memory crawler's seen set") {
     val (budgets, default) = budgetsAndDefault
     val root = Files.createTempDirectory("crawlC").toString
