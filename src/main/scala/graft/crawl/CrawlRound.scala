@@ -127,12 +127,14 @@ object CrawlRound {
     // scaling efficiency at high parallelism (Amdahl), so no-op rounds must
     // cost nothing.
     val nFailed = nPopped - nFetched
-    val (failed2, cuckooShards2) =
-      if (nFailed == 0L) (state.failed, state.cuckooShards)
-      else {
-        val failRows = fetched.filter(col("status") =!= 200)
-          .select(col("url"), col("urlHash"), col("host"), col("priority"),
-            col("depth"), lit(round).as("failRound"))
+    val failRowsOpt =
+      if (nFailed == 0L) None
+      else Some(fetched.filter(col("status") =!= 200)
+        .select(col("url"), col("urlHash"), col("host"), col("priority"),
+          col("depth"), lit(round).as("failRound")))
+    val (failed2, cuckooShards2) = failRowsOpt match {
+      case None => (state.failed, state.cuckooShards)
+      case Some(failRows) =>
         // Sizing guard BEFORE the merge: the standing geometry is fixed at
         // build time while the failed set accumulates across rounds, so an
         // unguarded incremental merge would eventually overflow a shard
@@ -177,7 +179,7 @@ object CrawlRound {
               math.max(cfg.expectedKeysPerShard, projMax * 2))
         }
         (f2, merged)
-      }
+    }
 
     // Frontier expansion with dedup-before-shuffle. The shard-table
     // collects (independent Spark jobs whose only input is the popped
@@ -204,12 +206,21 @@ object CrawlRound {
     // remaining ∪ popped and popped ⊆ seen (already excluded by filterNew),
     // so the result is identical — but the input frontier needs no
     // recomputation.
+    // Exact layer in COMPONENTS: the committed seen/failed tables are the
+    // BIG sides (hash-bucketed snapshots — their scans arrive
+    // pre-partitioned on urlHash, so the anti-join chain exchanges only
+    // the small maybe-seen remainder, once); this round's ok/fail hashes
+    // are tiny per-round deltas that broadcast-anti with no shuffle.
+    // Pre-unioning them (the round-2 shape) would destroy the big side's
+    // storage partitioning and re-shuffle the full tables every round.
+    val exactSmall = Seq(okHashes) ++ failRowsOpt.toSeq
     val deduped = shardArraysF match {
       case Some((bloomF, cuckooF)) =>
-        Seen.filterNewWithArrays(allowed, seenExact2,
+        Seen.filterNewWithArrays(allowed,
           Await.result(bloomF, Duration.Inf),
           Some(Await.result(cuckooF, Duration.Inf)),
-          failedHashes = Some(failed2), nShards = cfg.nShards)
+          exactBig = Seq(state.seenExact, state.failed),
+          exactSmall = exactSmall, nShards = cfg.nShards)
       case None =>
         Seen.filterNew(allowed, seenExact2, bloomShards2,
           cfg.nShards, broadcastProbe = false,

@@ -60,4 +60,8 @@ case class CrawlConfig(
     /** true: broadcast all bloom shards (small-shard scale). false: the
       * 10^10 path — shuffle-hash-join the shard table on shardId so each
       * shard's bits travel once to its reducer (Seen.filterNew §4.10). */
-    broadcastBloomProbe: Boolean = true)
+    broadcastBloomProbe: Boolean = true,
+    /** Hash-bucket count for the durable frontier/seen/failed tables
+      * (storage-partitioned anti-joins — SnapshotTable bucketKey). At
+      * cluster scale set ≈ total executor cores. */
+    stateBuckets: Int = 32)

@@ -111,24 +111,114 @@ object Seen {
     candidates.withColumn("maybe_seen", hit)
   }
 
+  /** Anti-join chain: A \ (B₁ ∪ B₂ ∪ …) = ((A \ B₁) \ B₂) \ … — each BIG
+    * committed table is anti-joined DIRECTLY so a hash-bucketed scan keeps
+    * its storage partitioning (a union with the delta would destroy it and
+    * re-shuffle the 10^10-row table every round); each small per-round
+    * delta is broadcast-anti-joined (no shuffle at all). The first big
+    * join exchanges only the candidate side — to the bucket count — and
+    * its output partitioning then satisfies every later big join, so the
+    * small maybe-seen remainder shuffles exactly once total. */
+  def antiChain(cands: DataFrame, exactBig: Seq[DataFrame],
+                exactSmall: Seq[DataFrame]): DataFrame = {
+    val afterBig = exactBig.foldLeft(cands)(
+      (c, t) => c.join(t.select("urlHash"), Seq("urlHash"), "left_anti"))
+    exactSmall.foldLeft(afterBig)(
+      (c, t) => c.join(broadcast(t.select("urlHash")), Seq("urlHash"), "left_anti"))
+  }
+
   /** The bloom-then-exact dedup from PRE-COLLECTED shard arrays — the
     * crawl-round hot path, where the shard collects run concurrently with
     * the expansion count (independent jobs; per-round serial driver time is
-    * the Amdahl fraction that caps scaling efficiency). */
-  def filterNewWithArrays(candidates: DataFrame, seenExact: DataFrame,
+    * the Amdahl fraction that caps scaling efficiency). The exact layer is
+    * passed in COMPONENTS (committed tables vs per-round deltas), not
+    * pre-unioned — see [[antiChain]]. */
+  def filterNewWithArrays(candidates: DataFrame,
                           bloomArr: Array[Array[Byte]],
                           cuckooArr: Option[Array[Array[Byte]]],
-                          failedHashes: Option[DataFrame],
+                          exactBig: Seq[DataFrame],
+                          exactSmall: Seq[DataFrame],
                           nShards: Int): DataFrame = {
     val probed = probeWithArrays(candidates, bloomArr, cuckooArr, nShards)
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
-    val exact = failedHashes match {
-      case Some(f) => seenExact.select("urlHash").unionByName(f.select("urlHash"))
-      case None => seenExact.select("urlHash")
-    }
-    val confirmedNew = probed.filter(col("maybe_seen")).drop("maybe_seen")
-      .join(exact, Seq("urlHash"), "left_anti")
+    val confirmedNew = antiChain(
+      probed.filter(col("maybe_seen")).drop("maybe_seen"), exactBig, exactSmall)
     definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** The 10^10 probe regime: shard bytes travel and materialize ONCE per
+    * reducer, never per candidate row.
+    *
+    * Why not a shuffle-hash JOIN on shardId (the round-2 shape): the
+    * joined `bits` column is a per-row BINARY reference, and join/filter
+    * codegen materializes every referenced column per output row —
+    * `UnsafeRow.getBinary` COPIES the whole shard, so every candidate pays
+    * a shard-sized memcpy. Measured: an expression-level per-task cache
+    * CANNOT fix this — for outer joins the generated code getBinary's the
+    * build-side value eagerly before any downstream expression runs (and
+    * FilterExec likewise pre-evaluates condition-referenced columns), so
+    * the cache only memoizes an already-copied value. The copy has to be
+    * designed out of the PLAN, not the expression.
+    *
+    * Shape: shard rows and candidate rows UNION into one relation tagged
+    * (shardId, tag) with tag 0 = shard / 1 = candidate, repartition by
+    * shardId (ONE narrow shuffle; each shard's bytes cross it once), sort
+    * within partitions by (shardId, tag) so a shard's bytes immediately
+    * precede its candidates, then a single streaming pass stashes the
+    * current shard's bytes and probes candidates against it — O(1) filter
+    * state per task regardless of shards-per-task, one materialization per
+    * (task, shard). Candidates whose shard has no row probe false (an
+    * absent shard holds no keys). */
+  def probePartitioned(candidates: DataFrame, bloomShards: DataFrame,
+                       cuckooShards: Option[DataFrame], nShards: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, StructField, StructType}
+    val nullBin = lit(null).cast("binary")
+    val candSchema = candidates.schema
+    val candT = candidates.select(
+      shardFor(col("urlHash"), nShards).as("shardId"), lit(1).as("tag"),
+      nullBin.as("bloomBits"), nullBin.as("cuckooBits"),
+      struct(candidates.columns.map(col).toSeq: _*).as("cand"))
+    val nullCand = lit(null).cast(candSchema.catalogString)
+    val bloomT = bloomShards.select(col("shardId"), lit(0).as("tag"),
+      col("bits").as("bloomBits"), nullBin.as("cuckooBits"), nullCand.as("cand"))
+    val shardT = cuckooShards match {
+      case Some(ck) => bloomT.unionByName(ck.select(col("shardId"), lit(0).as("tag"),
+        nullBin.as("bloomBits"), col("bits").as("cuckooBits"), nullCand.as("cand")))
+      case None => bloomT
+    }
+    val parted = shardT.unionByName(candT)
+      .repartition(col("shardId"))
+      .sortWithinPartitions(col("shardId"), col("tag"))
+    val outSchema = StructType(candSchema.fields :+ StructField("maybe_seen", BooleanType, nullable = false))
+    val nCandCols = candSchema.length
+    parted.mapPartitions { it =>
+      var curSid = Int.MinValue
+      var bloomBytes: Array[Byte] = null
+      var cuckooBytes: Array[Byte] = null
+      it.flatMap { r =>
+        val sid = r.getInt(0)
+        if (sid != curSid) { curSid = sid; bloomBytes = null; cuckooBytes = null }
+        if (r.getInt(1) == 0) { // shard row: stash, emit nothing
+          val b = r.getAs[Array[Byte]](2); if (b != null) bloomBytes = b
+          val c = r.getAs[Array[Byte]](3); if (c != null) cuckooBytes = c
+          Iterator.empty
+        } else {
+          val cand = r.getStruct(4)
+          val key = cand.getAs[Long]("urlHash")
+          val hit =
+            (bloomBytes != null &&
+              graft.filters.GraftBloomFilter.mightContainSerialized(bloomBytes, key)) ||
+            (cuckooBytes != null &&
+              graft.filters.GraftCuckooFilter.containsSerialized(cuckooBytes, key))
+          val out = new Array[Any](nCandCols + 1)
+          var i = 0
+          while (i < nCandCols) { out(i) = cand.get(i); i += 1 }
+          out(nCandCols) = hit
+          Iterator.single(Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out)))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Candidates → the definitely-new subset, using bloom-then-exact.
@@ -143,14 +233,12 @@ object Seen {
     *    shard per candidate row (~40 GB/round of memcpy at bench scale) —
     *    pure memory bandwidth, the one resource a single box cannot scale.
     *  - `false` (the 10^10 path, §4.10): at full scale the shard table is
-    *    ~12 GB of bits — collecting/broadcasting it is the OOM. Instead,
-    *    shuffle-hash-join on shardId: each shard's bits travel ONCE to the
-    *    reducer holding its candidates. The join output still pays the
-    *    per-row binary read there; the full fix at that scale is a
-    *    partition-local shard cache keyed by shardId (the candidate side
-    *    is shuffled BY shardId, so each reducer touches exactly one shard
-    *    — one deserialize per task, amortized), left as the documented
-    *    cluster-tier refinement. */
+    *    ~12 GB of bits — collecting/broadcasting it is the OOM. The probe
+    *    is [[probePartitioned]]: shards and candidates co-shuffle on
+    *    shardId and a single sorted streaming pass probes each candidate
+    *    against its shard's bytes, which materialize once per (task,
+    *    shard) — never per row (see probePartitioned's scaladoc for why a
+    *    probe JOIN cannot achieve this). */
   def filterNew(candidates: DataFrame, seenExact: DataFrame,
                 bloomShards: DataFrame, nShards: Int,
                 broadcastProbe: Boolean = true,
@@ -160,35 +248,15 @@ object Seen {
       if (broadcastProbe)
         probeWithArrays(candidates, collectShardArray(bloomShards, nShards),
           cuckooShards.map(collectShardArray(_, nShards)), nShards)
-      else {
-        def probeJoin(cands: DataFrame, shards: DataFrame) =
-          cands.join(shards.hint("shuffle_hash"), Seq("shardId"), "left")
-        val withShard = candidates.withColumn("shardId", shardFor(col("urlHash"), nShards))
-        val bloomProbed = probeJoin(withShard, bloomShards)
-          .withColumn("maybe_seen",
-            coalesce(FilterExprs.bloom_might_contain(col("bits"), col("urlHash")), lit(false)))
-          .drop("bits", "numKeys")
-        cuckooShards match {
-          case Some(ck) =>
-            probeJoin(bloomProbed,
-              ck.withColumnRenamed("bits", "cbits").withColumnRenamed("numKeys", "cn"))
-              .withColumn("maybe_seen", col("maybe_seen") ||
-                coalesce(FilterExprs.cuckoo_contains(col("cbits"), col("urlHash")), lit(false)))
-              .drop("cbits", "cn", "shardId")
-          case None => bloomProbed.drop("shardId")
-        }
-      }
+      else probePartitioned(candidates, bloomShards, cuckooShards, nShards)
 
     val definitelyNew = probed.filter(!col("maybe_seen")).drop("maybe_seen")
     // Only the maybe-seen remainder pays the shuffle of the exact anti join
     // — against BOTH ground-truth tables (permanent seen + deletable
-    // failed), so filter false positives never drop a genuinely new url.
-    val exact = failedHashes match {
-      case Some(f) => seenExact.select("urlHash").unionByName(f.select("urlHash"))
-      case None => seenExact.select("urlHash")
-    }
-    val confirmedNew = probed.filter(col("maybe_seen")).drop("maybe_seen")
-      .join(exact, Seq("urlHash"), "left_anti")
+    // failed), chained so bucketed scans keep their storage partitioning,
+    // and filter false positives never drop a genuinely new url.
+    val confirmedNew = antiChain(probed.filter(col("maybe_seen")).drop("maybe_seen"),
+      Seq(seenExact) ++ failedHashes.toSeq, Nil)
 
     definitelyNew.unionByName(confirmedNew)
   }

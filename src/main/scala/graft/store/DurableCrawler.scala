@@ -25,10 +25,16 @@ import graft.fetch.Fetcher
   */
 class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = CrawlConfig()) {
   private val mapper = new ObjectMapper()
-  val frontier = new SnapshotTable(spark, root, "frontier")
-  val seen = new SnapshotTable(spark, root, "seen")
+  // The three tables every round anti-joins against are hash-bucketed by
+  // urlHash: their committed scans arrive pre-partitioned, so the per-round
+  // dedup joins exchange ONLY the small candidate side (see CrawlRound).
+  val frontier = new SnapshotTable(spark, root, "frontier",
+    bucketKey = Some("urlHash"), nBuckets = cfg.stateBuckets)
+  val seen = new SnapshotTable(spark, root, "seen",
+    bucketKey = Some("urlHash"), nBuckets = cfg.stateBuckets)
   val shards = new SnapshotTable(spark, root, "shards")
-  val failed = new SnapshotTable(spark, root, "failed")
+  val failed = new SnapshotTable(spark, root, "failed",
+    bucketKey = Some("urlHash"), nBuckets = cfg.stateBuckets)
   val cuckoo = new SnapshotTable(spark, root, "cuckoo")
   val pages = new SnapshotTable(spark, root, "pages")
   val lineage = new SnapshotTable(spark, root, "lineage")

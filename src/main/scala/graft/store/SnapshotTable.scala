@@ -28,11 +28,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * move leaves the table at vN-1 with only unreferenced orphan files — a
   * re-run overwrites them; readers never see a torn state.
   */
-class SnapshotTable(spark: SparkSession, root: String, val name: String) {
+class SnapshotTable(spark: SparkSession, root: String, val name: String,
+                    val bucketKey: Option[String] = None,
+                    val nBuckets: Int = 32) {
   private val mapper = new ObjectMapper()
   private val tableDir = Paths.get(root, name)
   private val metaDir = tableDir.resolve("metadata")
   private val pointer = metaDir.resolve("current")
+
+  /** Catalog identifier of a version's bucketed external table —
+    * deterministic from (path, version) so any session, including a
+    * resumed process whose in-memory catalog is empty, re-derives the same
+    * name and re-registers idempotently. */
+  private def tableIdent(v: Long): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tableDir.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    s"graft_${h}_${name}_v$v"
+  }
 
   def currentVersion: Option[Long] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toLong) else None
@@ -53,7 +65,23 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String) {
   def commit(df: DataFrame): Long = {
     val v = currentVersion.map(_ + 1).getOrElse(0L)
     val dataDir = tableDir.resolve(s"data/v$v")
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    bucketKey match {
+      case Some(k) =>
+        // Hash-bucketed storage (the Iceberg bucket-transform stand-in):
+        // the scan of a committed version reports HashPartitioning(k,
+        // nBuckets), so per-round anti-joins against this table need NO
+        // exchange on this (the big) side — only the small probe side
+        // shuffles, to the bucket count. repartition aligns write tasks
+        // with buckets (same murmur3 hash) → one file per bucket, and
+        // sortBy lets SMJ skip the big-side sort too.
+        df.repartition(nBuckets, df.col(k))
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, k).sortBy(k)
+          .option("path", dataDir.toString)
+          .saveAsTable(tableIdent(v))
+      case None =>
+        df.write.mode("overwrite").parquet(dataDir.toString)
+    }
 
     val files = Files.list(dataDir).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
@@ -66,6 +94,9 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     manifest.put("version", v)
     manifest.put("parent", currentVersion.getOrElse(-1L))
     manifest.put("schema", df.schema.json)
+    bucketKey.foreach { k =>
+      manifest.put("bucketKey", k); manifest.put("nBuckets", nBuckets)
+    }
     val arr: ArrayNode = manifest.putArray("files")
     val hconf = spark.sessionState.newHadoopConf()
     files.foreach { f =>
@@ -128,7 +159,19 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String) {
     val schema = schemaOf(m)
     val paths = filesOf(m).map(_.get("path").asText())
     if (paths.isEmpty) emptyDf(schema)
-    else spark.read.schema(schema).parquet(paths: _*)
+    else bucketKey match {
+      case Some(k) =>
+        // Bucket-aware read goes through the catalog (bucketing metadata
+        // only attaches to catalog tables in Spark); registration is
+        // idempotent and re-created on resume in a fresh session.
+        val t = tableIdent(v)
+        spark.sql(
+          s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL}) USING PARQUET
+             |CLUSTERED BY ($k) SORTED BY ($k) INTO $nBuckets BUCKETS
+             |LOCATION '${tableDir.resolve(s"data/v$v")}'""".stripMargin)
+        spark.table(t)
+      case None => spark.read.schema(schema).parquet(paths: _*)
+    }
   }
 
   /** Manifest-level file pruning: read only files whose [min,max] range of

@@ -126,6 +126,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val b = big.collect().map(_.toString).sorted.toSeq
     assert(a == b && a.size == 80)
     val p = big.queryExecution.executedPlan.toString
-    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    // The probe is the co-partitioned streaming pass, NOT a join carrying
+    // shard bytes per row: no join node touches `bits`; the probe leg is
+    // union → one shardId exchange → per-partition sort → MapPartitions.
+    assert(!p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert(p.contains("Union"), p.take(2000))
+  }
+
+  test("partitioned-stream probe stays correct when one task sees MANY shards") {
+    import spark.implicits._
+    // 64 shards into 4 shuffle partitions → every reducer streams ~16
+    // shardId groups, exercising the sorted stash hand-over (bloom AND
+    // cuckoo rows per group). Both probe regimes and the exact layer must
+    // agree.
+    val candidates = spark.range(5000)
+      .select(col("id").as("urlHash"), concat(lit("u"), col("id")).as("url"))
+      .repartition(4)
+    val seen = spark.range(0, 3000).select(col("id").as("urlHash"))
+    val failedHashes = spark.range(3000, 3500).select(col("id").as("urlHash"))
+    val bloom = graft.crawl.Seen.buildBloomShards(seen, 64, 256)
+    val cuckoo = graft.crawl.Seen.buildCuckooShards(failedHashes, 64, 256)
+    val out = graft.crawl.Seen.filterNew(candidates, seen, bloom, 64,
+      broadcastProbe = false,
+      failedHashes = Some(failedHashes), cuckooShards = Some(cuckoo))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (3500L until 5000L).toSeq)
   }
 }
