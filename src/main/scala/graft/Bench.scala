@@ -34,14 +34,19 @@ object Bench {
     // read as a (suspiciously fast) passing one. Failures keep their wall
     // time in `queries` but are listed in `errors` and excluded from
     // nothing — the reader decides.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Registry (insertion) order, not Map order: shared memoized
+    // intermediates (the brute-force ANN baseline, the LSH hash relation,
+    // the IVF index) are built by the FIRST query that needs them, and the
+    // registry lists producers before their audits — so per-query times
+    // attribute index builds to the index query, deterministically.
+    val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       // noop sink evaluates EVERY column of the query (a count() would let
       // Catalyst prune the operator under test down to a bare scan).
       val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (q.name, (System.nanoTime() - t0) / 1e9, err)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -33,10 +33,13 @@ object VectorOps {
 
   private val DIM = 64
 
-  /** Σ aᵢ·bᵢ as a left-to-right double fold (deterministic). */
+  /** Σ aᵢ·bᵢ as a left-to-right double fold (deterministic). Codegen
+    * kernel (graft.expr.VectorKernels) — the composable
+    * aggregate(zip_with(...)) form is an interpreted HOF that re-enters
+    * the lambda evaluator per element; the kernel runs the identical fold
+    * (bitwise-equal results) as a JIT'd loop. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expr.VectorExprs.vec_dot(a, b)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -104,33 +107,26 @@ object VectorOps {
     * executors and partition counts. Plane t*BITS+j is bit j of table t. */
   private val N_TABLES = 8
   private val BITS = 8
-  private def planes: Seq[Seq[Double]] = {
+  /** Flattened [table·bits][dim] Rademacher hyperplane matrix (±1 from a
+    * fixed LCG seed — pure data, identical across executors/partitions). */
+  private lazy val planesFlat: Array[Double] = {
     var st = 42L
     def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
-    Seq.fill(N_TABLES * BITS)(Seq.fill(DIM)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0))
+    Array.fill(N_TABLES * BITS * DIM)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0)
   }
 
-  /** Per-table bucket ids: array of N_TABLES longs, bucket[t] packing
-    * sign(v·plane_{t*BITS+j}) into bit j. Column-valued shift amounts need
-    * the SQL higher-order form. */
-  private def bucketsCol: Column = expr(
-    s"""transform(sequence(0, ${N_TABLES - 1}), t ->
-       |  aggregate(sequence(0, ${BITS - 1}), 0L, (acc, j) -> acc |
-       |    if(aggregate(sequence(1, $DIM), 0D,
-       |         (a, i) -> a + element_at(element_at(planes_, t * $BITS + j + 1), i)
-       |                     * CAST(element_at(embedding, i) AS DOUBLE)) > 0D,
-       |       shiftleft(1L, j), 0L)))""".stripMargin)
-
   /** The NARROW hash relation: one (vec_id, tbl, bucket) row per table.
-    * This is the only thing the LSH shuffle moves. Memoized per session
-    * (SessionCache): the 64-plane projection is the expensive part, every
-    * consumer joins this relation at least twice (probe + candidate side),
-    * and ann_lsh_topk / ann_recall / dedup_embed_cosine all share it. */
+    * This is the only thing the LSH shuffle moves. The 64-plane projection
+    * is the LshBucketsExpr codegen kernel (the SQL HOF form was the
+    * vector path's dominant interpreted constant). Memoized per session
+    * (SessionCache): every consumer joins this relation at least twice
+    * (probe + candidate side), and ann_lsh_topk / ann_recall /
+    * dedup_embed_cosine all share it. */
   private def hashRelation(s: SparkSession, d: String): DataFrame =
     SessionCache.df(s, s"lsh_hashes:$d") {
       embWithNorm(s, d)
-        .withColumn("planes_", typedLit(planes))
-        .withColumn("buckets", bucketsCol)
+        .withColumn("buckets", graft.expr.VectorExprs.lsh_buckets(
+          col("embedding"), planesFlat, DIM, N_TABLES, BITS))
         .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     }
 
@@ -216,30 +212,41 @@ object VectorOps {
     cents.map(_.toSeq).toSeq
   }
 
+  /** The IVF INDEX — trained coarse quantizer + inverted lists — is built
+    * once per (session, corpus) and shared (how ANN is actually operated:
+    * index amortized over many queries; ann_ivf_topk and ann_ivf_recall
+    * stop re-training per invocation). Probing and re-rank stay per-call. */
+  private val centsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Double]]()
+  private def centroids(s: SparkSession, d: String): Array[Double] =
+    centsCache.computeIfAbsent((System.identityHashCode(s), d),
+      _ => ivfCentroids(embWithNorm(s, d)).flatten.toArray)
+
   /** sims(embedding, centroid_j) for all j — argmax is scale-invariant, so
-    * the raw (unnormalized) embedding is used. */
-  private def centroidSims: Column = expr(
-    s"""transform(cents_, c ->
-       |  aggregate(sequence(1, $DIM), 0D,
-       |    (a, i) -> a + element_at(c, i) * CAST(element_at(embedding, i) AS DOUBLE)))""".stripMargin)
+    * the raw (unnormalized) embedding is used. CentroidSimsExpr is the
+    * codegen kernel (same left-to-right fold as the old HOF form). */
+  private def centroidSims(s: SparkSession, d: String): Column =
+    graft.expr.VectorExprs.centroid_sims(col("embedding"), centroids(s, d), DIM, IVF_K)
+
+  /** Inverted lists: narrow (cid, c_id). array_position = first max
+    * (deterministic tie-break), 1-based → cid in [0, K). */
+  private def ivfLists(s: SparkSession, d: String): DataFrame =
+    SessionCache.df(s, s"ivf_lists:$d") {
+      embWithNorm(s, d)
+        .withColumn("sims", centroidSims(s, d))
+        .select(col("vec_id").as("c_id"),
+          (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int").as("cid"))
+    }
 
   def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val e = embWithNorm(s, d)
-    val cents = typedLit(ivfCentroids(e))
-    // Inverted lists: narrow (cid, c_id). array_position = first max
-    // (deterministic tie-break), 1-based → cid in [0, K).
-    val assigned = e.withColumn("cents_", cents)
-      .withColumn("sims", centroidSims)
-      .select(col("vec_id").as("c_id"),
-        (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int").as("cid"))
     val wp = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") < 8)
-      .withColumn("cents_", cents)
-      .select(col("vec_id").as("q_id"), posexplode(centroidSims).as(Seq("cid", "sim")))
+      .select(col("vec_id").as("q_id"), posexplode(centroidSims(s, d)).as(Seq("cid", "sim")))
       .withColumn("rnk", row_number().over(wp))
       .filter(col("rnk") <= IVF_NPROBE)
       .select("q_id", "cid")
-    val pairs = probes.join(assigned, Seq("cid"))
+    val pairs = probes.join(ivfLists(s, d), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
     rerank(pairs, e, k)
