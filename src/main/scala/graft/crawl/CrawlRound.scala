@@ -32,9 +32,19 @@ object CrawlRound {
     *
     *   failed:       (url, urlHash, host, priority, depth, failRound) —
     *                 full frontier shape, so retry re-enqueues directly
-    *   cuckooShards: (shardId, bits, numKeys) — prefilter of failed */
+    *   cuckooShards: (shardId, bits, numKeys) — prefilter of failed
+    *   spilled:      frontier-shaped overflow beyond cfg.frontierCap
+    *                 (compaction — lowest-priority entries wait here and
+    *                 re-admit as the active frontier drains); None when no
+    *                 cap is configured
+    *
+    * frontierSize/spilledSize are maintained ARITHMETICALLY from the
+    * round counters (-1 = unknown → counted once when a cap first
+    * applies), so the compaction policy never adds count() jobs. */
   case class State(frontier: DataFrame, seenExact: DataFrame, bloomShards: DataFrame,
-                   failed: DataFrame, cuckooShards: DataFrame)
+                   failed: DataFrame, cuckooShards: DataFrame,
+                   spilled: Option[DataFrame] = None,
+                   frontierSize: Long = -1L, spilledSize: Long = -1L)
 
   /** `cached`: intermediates persisted inside run(); the caller MUST
     * materialize (checkpoint/write) `state` and `pages` first, then call
@@ -226,8 +236,11 @@ object CrawlRound {
           cfg.nShards, broadcastProbe = false,
           failedHashes = Some(failed2), cuckooShards = Some(cuckooShards2))
     }
-    val newEntries = deduped
-      .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
+    // The spill table holds frontier members too (just inactive ones), so
+    // candidate dedup must anti-join it as well — it is committed bucketed
+    // by urlHash like the frontier, keeping the chain one-exchange.
+    val frontierMembers = Seq(state.frontier) ++ state.spilled.toSeq
+    val newEntries = Seen.antiChain(deduped, frontierMembers, Nil)
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -240,12 +253,49 @@ object CrawlRound {
 
     val frontier2 = remaining.unionByName(newEntries)
 
+    // Frontier compaction (cfg.frontierCap). A compaction round re-splits
+    // the UNION of active ∪ spill at the cap, so the active set is always
+    // the exact global top-cap of every standing frontier member — spilled
+    // entries re-admit automatically the moment they outrank the active
+    // floor (no separate re-admission pass, no priority inversions between
+    // spill and active after a compaction). Hysteresis bounds the cost:
+    // compaction fires only when the active set OVERFLOWS the cap, or has
+    // drained below cap/2 with spill waiting — between firings the spill
+    // is not scanned, rewritten, or checkpointed at all. Sizes are
+    // maintained arithmetically from this round's counters (one count()
+    // only on the first capped round); `evicted`/`readmitted` lineage
+    // counters are the NET active→spill / spill→active flow.
+    val (frontier3, spilled2, frontierSize2, spilledSize2, nEvicted, nReadmitted) =
+      cfg.frontierCap match {
+        case None =>
+          (frontier2, state.spilled, -1L, -1L, 0L, 0L)
+        case Some(cap) =>
+          val fSize =
+            if (state.frontierSize >= 0) state.frontierSize - nPopped + nEnqueued
+            else frontier2.count() // first capped round only
+          val spSize =
+            if (state.spilledSize >= 0) state.spilledSize
+            else state.spilled.map(_.count()).getOrElse(0L)
+          val needCompact = fSize > cap || (fSize < cap / 2 && spSize > 0)
+          if (!needCompact) (frontier2, state.spilled, fSize, spSize, 0L, 0L)
+          else {
+            val members = state.spilled.map(frontier2.unionByName).getOrElse(frontier2)
+            val (active, rest, nRest) = Frontier.splitTopByPriority(members, cap)
+            val fSize2 = math.min(cap, fSize + spSize)
+            val spDelta = nRest - spSize
+            (active, if (nRest > 0 || state.spilled.isDefined) Some(rest) else None,
+              fSize2, nRest,
+              math.max(spDelta, 0L), math.max(-spDelta, 0L))
+          }
+      }
+
     val lineage = RoundLineage(
       round = round, partitionId = -1,
       popped = nPopped, fetched = nFetched,
       extracted = nFetched, // every 200 page yields an extraction (spec'd noMatch="" otherwise)
       rawCandidates = nRaw, enqueued = nEnqueued,
-      dedupDropped = nRaw - nEnqueued)
+      dedupDropped = nRaw - nEnqueued,
+      evicted = nEvicted, readmitted = nReadmitted)
 
     // Per-partition rows: merge the three per-stage maps on partition id.
     val fetchMap = fetchParts.map(t => t._1 -> (t._2, t._3)).toMap
@@ -263,7 +313,8 @@ object CrawlRound {
 
     rawCandidates.unpersist()
     Output(pages, popped,
-      State(frontier2, seenExact2, bloomShards2, failed2, cuckooShards2),
+      State(frontier3, seenExact2, bloomShards2, failed2, cuckooShards2,
+        spilled2, frontierSize2, spilledSize2),
       lineage, partLineage,
       cached = Seq(popped, remaining, fetched, newEntries))
   }

@@ -41,7 +41,9 @@ object Crawler {
       ck(s.bloomShards, prev.map(_.bloomShards)),
       ck(s.failed, prev.map(_.failed)),
       ck(s.cuckooShards, prev.map(_.cuckooShards)))), Duration.Inf)
-    CrawlRound.State(f, se, bs, fl, cks)
+    val sp = s.spilled.map(df =>
+      if (prev.exists(_.spilled.exists(_ eq df))) df else df.localCheckpoint(true))
+    CrawlRound.State(f, se, bs, fl, cks, sp, s.frontierSize, s.spilledSize)
   }
 
   def emptySeen(spark: SparkSession): DataFrame = {

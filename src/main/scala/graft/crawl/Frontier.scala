@@ -78,6 +78,71 @@ object Frontier {
     (popped, remaining)
   }
 
+  /** Exact global top-`n` split by (priority DESC, urlHash ASC) — the
+    * frontier-compaction kernel. A global rank window would funnel the
+    * whole table through one reducer; instead:
+    *
+    *  1. ONE narrow aggregate histograms the monotone 16-bit
+    *     priority_bucket (≤ 2^16 rows to the driver);
+    *  2. whole buckets strictly above the threshold bucket are kept by a
+    *     map-side filter (no shuffle, no sort);
+    *  3. only the BOUNDARY bucket — one quantization cell — is exactly
+    *     ranked, via a range-partitioned sort + zipWithIndex (the
+    *     scale-shaped exact top-k: sorted partitions + per-partition
+    *     offsets, never a single-reducer window). Ordering is total
+    *     (urlHash unique), so the split is deterministic at any partition
+    *     count.
+    *
+    * @return (top, rest, nRest) where top holds exactly min(n, |df|) rows.
+    *         Requires columns (priority, urlHash); all columns survive. */
+  def splitTopByPriority(df: DataFrame, n: Long): (DataFrame, DataFrame, Long) = {
+    import graft.expr.PriorityBucket.priority_bucket
+    val spark = df.sparkSession
+    val bucket = priority_bucket(col("priority"))
+    val hist = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    val total = hist.map(_._2).sum
+    if (total <= n) return (df, df.limit(0), 0L)
+    // walk buckets high→low until the cumulative count crosses n
+    var cum = 0L; var bi = 0
+    while (bi < hist.length && cum + hist(bi)._2 <= n) { cum += hist(bi)._2; bi += 1 }
+    val bBoundary = hist(bi)._1
+    val countB = hist(bi)._2
+    val need = n - cum
+    val keepWhole = df.filter(bucket > lit(bBoundary))
+    val below = df.filter(bucket < lit(bBoundary))
+    val boundary = df.filter(bucket === lit(bBoundary))
+    if (need == 0L) return (keepWhole, below.unionByName(boundary), total - n)
+    if (countB <= BOUNDARY_COLLECT_CAP) {
+      // One quantization cell, small enough for its 16-byte KEYS to visit
+      // the driver: pick the exact need-th key and split by a map-side
+      // struct-comparison filter — no sort, no extra shuffle.
+      val keys = boundary.select(col("priority"), col("urlHash")).collect()
+        .map(r => (-r.getDouble(0), r.getLong(1))).sorted
+      val (np, h) = keys(need.toInt - 1)
+      val keyCol = struct((col("priority") * -1).as("a"), col("urlHash").as("b"))
+      val thr = struct(lit(np).as("a"), lit(h).as("b"))
+      (keepWhole.unionByName(boundary.filter(keyCol <= thr)),
+        below.unionByName(boundary.filter(keyCol > thr)), total - n)
+    } else {
+      // Degenerate cell (a priority flood): range-partitioned sort +
+      // zipWithIndex — sorted partitions + per-partition offsets, still
+      // never a single-reducer window.
+      val schema = df.schema
+      val indexed = boundary.orderBy(col("priority").desc, col("urlHash").asc)
+        .rdd.zipWithIndex()
+      val bTop = spark.createDataFrame(
+        indexed.filter(_._2 < need).map(_._1), schema)
+      val bRest = spark.createDataFrame(
+        indexed.filter(_._2 >= need).map(_._1), schema)
+      (keepWhole.unionByName(bTop), below.unionByName(bRest), total - n)
+    }
+  }
+
+  /** Boundary cells up to this size split via a driver key-select (two
+    * narrow columns); larger cells use the distributed sort path. */
+  private val BOUNDARY_COLLECT_CAP = 2000000L
+
   private val HREF_PATTERN = """href="([^"]+)""""
 
   /** E1/E2 — link extraction + candidate shaping: hrefs out of fetched

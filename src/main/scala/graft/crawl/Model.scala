@@ -43,7 +43,11 @@ case class RoundLineage(
     extracted: Long,
     rawCandidates: Long,
     enqueued: Long,
-    dedupDropped: Long)
+    dedupDropped: Long,
+    /** Frontier-compaction counters (total row only; eviction is a
+      * round-level policy, not a per-partition stage). */
+    evicted: Long = 0L,
+    readmitted: Long = 0L)
 
 /** Knobs, sized for the sandbox by default; the 10^10-scale values are a
   * config change, not a code change (SURVEY.md §7 hard part 4). */
@@ -64,4 +68,12 @@ case class CrawlConfig(
     /** Hash-bucket count for the durable frontier/seen/failed tables
       * (storage-partitioned anti-joins — SnapshotTable bucketKey). At
       * cluster scale set ≈ total executor cores. */
-    stateBuckets: Int = 32)
+    stateBuckets: Int = 32,
+    /** Active-frontier size cap. When the frontier outgrows it, the
+      * lowest-priority entries are EVICTED to a spill table (priority-floor
+      * compaction — Frontier.splitTopByPriority) and re-admitted,
+      * highest-priority first, as pops drain the active set below the cap:
+      * a 10^10-URL discovery never grows unbounded state, and no URL is
+      * ever lost (eventual-completeness pinned by FrontierCapSpec). None =
+      * unbounded (the default; small crawls never pay the histogram). */
+    frontierCap: Option[Long] = None)

@@ -36,6 +36,11 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   val failed = new SnapshotTable(spark, root, "failed",
     bucketKey = Some("urlHash"), nBuckets = cfg.stateBuckets)
   val cuckoo = new SnapshotTable(spark, root, "cuckoo")
+  /** Frontier overflow under cfg.frontierCap — bucketed like the frontier
+    * (the candidate dedup anti-chain joins it too). Only written when a
+    * cap is configured and spill exists. */
+  val spilled = new SnapshotTable(spark, root, "spilled",
+    bucketKey = Some("urlHash"), nBuckets = cfg.stateBuckets)
   val pages = new SnapshotTable(spark, root, "pages")
   val lineage = new SnapshotTable(spark, root, "lineage")
 
@@ -44,7 +49,9 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
 
   case class RoundEntry(round: Int, frontierV: Long, seenV: Long, shardsV: Long,
                         failedV: Long, cuckooV: Long,
-                        pagesV: Long, lineageV: Long)
+                        pagesV: Long, lineageV: Long,
+                        spilledV: Long = Long.MinValue,
+                        frontierSize: Long = -1L, spilledSize: Long = -1L)
 
   def lastCompleteRound: Option[Int] =
     if (Files.exists(logPointer)) Some(Files.readString(logPointer).trim.toInt) else None
@@ -71,7 +78,10 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     RoundEntry(n.get("round").asInt(), n.get("frontierV").asLong(),
       n.get("seenV").asLong(), n.get("shardsV").asLong(),
       optLong(n, "failedV"), optLong(n, "cuckooV"),
-      n.get("pagesV").asLong(), n.get("lineageV").asLong())
+      n.get("pagesV").asLong(), n.get("lineageV").asLong(),
+      spilledV = optLong(n, "spilledV"),
+      frontierSize = if (n.has("frontierSize")) n.get("frontierSize").asLong() else -1L,
+      spilledSize = if (n.has("spilledSize")) n.get("spilledSize").asLong() else -1L)
   }
 
   private def writeEntry(e: RoundEntry): Unit = {
@@ -83,6 +93,9 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     node.put("shardsV", e.shardsV)
     node.put("failedV", e.failedV); node.put("cuckooV", e.cuckooV)
     node.put("pagesV", e.pagesV); node.put("lineageV", e.lineageV)
+    if (e.spilledV != NO_TABLE) node.put("spilledV", e.spilledV)
+    if (e.frontierSize >= 0) node.put("frontierSize", e.frontierSize)
+    if (e.spilledSize >= 0) node.put("spilledSize", e.spilledSize)
     Files.writeString(logDir.resolve(s"round-${e.round}.json"), node.toString)
     val tmp = logDir.resolve(s".current.tmp.${e.round}")
     Files.writeString(tmp, e.round.toString)
@@ -97,7 +110,9 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       seenExact = seen.read(e.seenV),
       bloomShards = shards.read(e.shardsV),
       failed = if (e.failedV == NO_TABLE) Crawler.emptyFailed(spark) else failed.read(e.failedV),
-      cuckooShards = if (e.cuckooV == NO_TABLE) Crawler.emptyShards(spark) else cuckoo.read(e.cuckooV))
+      cuckooShards = if (e.cuckooV == NO_TABLE) Crawler.emptyShards(spark) else cuckoo.read(e.cuckooV),
+      spilled = if (e.spilledV == NO_TABLE) None else Some(spilled.read(e.spilledV)),
+      frontierSize = e.frontierSize, spilledSize = e.spilledSize)
   }
 
   /** Round "-1": the seed state. Idempotent — safe to call on an
@@ -151,6 +166,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        val spF = res.state.spilled.map(df => Future(spilled.commit(df)))
         val Seq(fv, sv, shv, flv, ckv, pv, lv) = Await.result(Future.sequence(Seq(
           Future(frontier.commit(res.state.frontier)),
           Future(seen.commit(res.state.seenExact)),
@@ -159,8 +175,11 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
           Future(cuckoo.commit(res.state.cuckooShards)),
           Future(pages.commit(res.pages)),
           Future(lineage.commit(lineageDf(res, r))))), Duration.Inf)
+        val spv = spF.map(Await.result(_, Duration.Inf)).getOrElse(Long.MinValue)
         val e = RoundEntry(r, frontierV = fv, seenV = sv, shardsV = shv,
-          failedV = flv, cuckooV = ckv, pagesV = pv, lineageV = lv)
+          failedV = flv, cuckooV = ckv, pagesV = pv, lineageV = lv,
+          spilledV = spv, frontierSize = res.state.frontierSize,
+          spilledSize = res.state.spilledSize)
         if (r == failBeforeLogAt)
           throw new RuntimeException(s"injected kill before round-$r log commit")
         writeEntry(e)

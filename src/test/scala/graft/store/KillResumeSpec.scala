@@ -85,6 +85,33 @@ class KillResumeSpec extends AnyFunSuite {
     }
   }
 
+  test("capped durable crawl kill-resumes byte-identical, spill table included") {
+    val (budgets, default) = budgetsAndDefault
+    val cfg = CrawlFixture.cfg.copy(frontierCap = Some(120L))
+
+    val rootA = Files.createTempDirectory("crawlCapA").toString
+    val a = new DurableCrawler(spark, rootA, cfg)
+    a.init(seeds, robots)
+    a.runRounds(3, fetcher, robots, budgets, default)
+
+    val rootB = Files.createTempDirectory("crawlCapB").toString
+    val b1 = new DurableCrawler(spark, rootB, cfg)
+    b1.init(seeds, robots)
+    intercept[RuntimeException] {
+      b1.runRounds(3, fetcher, robots, budgets, default, failBeforeLogAt = 2)
+    }
+    val b2 = new DurableCrawler(spark, rootB, cfg)
+    b2.runRounds(3, fetcher, robots, budgets, default)
+
+    val stA = a.currentState(); val stB = b2.currentState()
+    assert(stA.frontier.count() <= 120L)
+    assert(stA.spilled.isDefined, "cap fixture must actually spill")
+    assert(sortedRows(stA.frontier) == sortedRows(stB.frontier))
+    assert(sortedRows(stA.spilled.get) == sortedRows(stB.spilled.get))
+    assert(sortedRows(stA.seenExact) == sortedRows(stB.seenExact))
+    assert(stA.frontierSize == stB.frontierSize && stA.spilledSize == stB.spilledSize)
+  }
+
   test("v1 round-log (no failedV/cuckooV fields) resumes with empty deletable state, no NPE") {
     val (budgets, default) = budgetsAndDefault
     val root = Files.createTempDirectory("crawlV1").toString
