@@ -59,22 +59,36 @@ object Seen {
 
   /** Retire a batch of hashes from the cuckoo shards (the delete path —
     * what the Bloom side can never do). Deletes are grouped per shard and
-    * applied in ONE deserialize/serialize round-trip per shard row.
-    * Callers must only retire hashes that were actually inserted (the
-    * standard cuckoo delete contract); the crawl guarantees this by
+    * applied in ONE deserialize/serialize round-trip per shard row per
+    * CHUNK: a mega-batch retire (a shard's deletes approaching
+    * executor-array scale) is split into deterministic `chunkSize` groups
+    * and applied as successive passes, so per-group delete arrays are
+    * bounded at ~8 MB regardless of batch size — normal batches stay one
+    * pass. Callers must only retire hashes that were actually inserted
+    * (the standard cuckoo delete contract); the crawl guarantees this by
     * anti-joining the exact failed table first. */
   def retireFromCuckoo(cuckooShards: DataFrame, retireHashes: DataFrame,
-                       nShards: Int): DataFrame = {
-    val dels = retireHashes
+                       nShards: Int, chunkSize: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shardId").orderBy("urlHash")
+    val keyed = retireHashes
       .withColumn("shardId", shardFor(col("urlHash"), nShards))
-      .groupBy("shardId")
-      .agg(collect_list("urlHash").as("dels"), count(lit(1)).as("nDels"))
-    cuckooShards.join(dels, Seq("shardId"), "left")
-      .select(
-        col("shardId"),
-        when(col("dels").isNull, col("bits"))
-          .otherwise(FilterExprs.cuckoo_delete_all(col("bits"), col("dels"))).as("bits"),
-        (col("numKeys") - coalesce(col("nDels"), lit(0L))).as("numKeys"))
+      .withColumn("__chunk", ((row_number().over(w) - 1) / chunkSize).cast("int"))
+    val maxChunk = keyed.agg(max("__chunk")).head() match {
+      case r if r.isNullAt(0) => return cuckooShards // empty retire batch
+      case r => r.getInt(0)
+    }
+    (0 to maxChunk).foldLeft(cuckooShards) { (shards, k) =>
+      val dels = keyed.filter(col("__chunk") === k)
+        .groupBy("shardId")
+        .agg(collect_list("urlHash").as("dels"), count(lit(1)).as("nDels"))
+      shards.join(dels, Seq("shardId"), "left")
+        .select(
+          col("shardId"),
+          when(col("dels").isNull, col("bits"))
+            .otherwise(FilterExprs.cuckoo_delete_all(col("bits"), col("dels"))).as("bits"),
+          (col("numKeys") - coalesce(col("nDels"), lit(0L))).as("numKeys"))
+    }
   }
 
   /** Collect a (shardId, bits, …) shard table into a dense array indexed

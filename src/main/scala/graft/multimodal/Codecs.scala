@@ -1,0 +1,202 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM media codecs (no external libraries): uncompressed 24-bit BMP
+  * and 16-bit mono PCM WAV. Real header parsing and pixel/sample access —
+  * this is what de-stubs the multimodal decode stage in a container with
+  * no codec libraries. The formats are trivial but the pipeline shape
+  * (magic-byte dispatch, batch decode, feature extraction over decoded
+  * samples) is exactly what a libjpeg/ffmpeg-backed decoder plugs into. */
+object Codecs {
+
+  // ------------------------------------------------------------- BMP
+  final val BMP_HEADER = 54 // BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
+
+  def bmpRowSize(width: Int): Int = (width * 3 + 3) & ~3 // rows pad to 4B
+
+  def bmpSize(width: Int, height: Int): Int = BMP_HEADER + bmpRowSize(width) * height
+
+  /** Encode a deterministic 24bpp bottom-up BMP; pixel (x,y) channels are a
+    * pure function of (seed, x, y). */
+  def makeBmp(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val size = bmpSize(width, height)
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(BMP_HEADER)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(size - BMP_HEADER).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    val row = new Array[Byte](bmpRowSize(width))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val h = mix(seed ^ (x.toLong << 32) ^ y.toLong)
+        row(x * 3) = (h & 0xff).toByte
+        row(x * 3 + 1) = ((h >>> 8) & 0xff).toByte
+        row(x * 3 + 2) = ((h >>> 16) & 0xff).toByte
+        x += 1
+      }
+      bb.put(row)
+      y += 1
+    }
+    bb.array()
+  }
+
+  case class BmpImage(width: Int, height: Int, channels: Int, pixels: Array[Byte],
+                      rowSize: Int, dataOffset: Int)
+
+  /** Parse an uncompressed 24bpp BMP. Throws on anything else — callers
+    * dispatch on magic bytes first. */
+  def decodeBmp(bytes: Array[Byte]): BmpImage = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.get(0) == 'B' && bb.get(1) == 'M', "not a BMP")
+    val dataOffset = bb.getInt(10)
+    val width = bb.getInt(18)
+    val height = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    require(bpp == 24 && bb.getInt(30) == 0, s"unsupported BMP variant (bpp=$bpp)")
+    BmpImage(width, height, 3, bytes, bmpRowSize(width), dataOffset)
+  }
+
+  /** 8-band feature: mean intensity (r+g+b)/3 of each horizontal band,
+    * normalized to [-1, 1]. A real embedding model slots in here; the
+    * point is features computed from DECODED pixels, not payload hashes. */
+  def bmpBandFeatures(img: BmpImage, bands: Int): Array[Float] = {
+    val out = new Array[Float](bands)
+    val counts = new Array[Long](bands)
+    val sums = new Array[Long](bands)
+    var y = 0
+    while (y < img.height) {
+      val band = if (img.height <= 1) 0 else y * bands / img.height
+      val base = img.dataOffset + y * img.rowSize
+      var x = 0
+      while (x < img.width) {
+        val i = base + x * 3
+        sums(band) += (img.pixels(i) & 0xff) + (img.pixels(i + 1) & 0xff) +
+          (img.pixels(i + 2) & 0xff)
+        counts(band) += 3
+        x += 1
+      }
+      y += 1
+    }
+    var b = 0
+    while (b < bands) {
+      out(b) = if (counts(b) == 0) 0f
+      else (sums(b).toDouble / counts(b) / 127.5 - 1.0).toFloat
+      b += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- WAV
+  final val WAV_HEADER = 44 // RIFF + fmt(16) + data header
+
+  def wavSize(nFrames: Int): Int = WAV_HEADER + nFrames * 2
+
+  /** Encode deterministic 16-bit mono PCM; sample i is a pure function of
+    * (seed, i). */
+  def makeWav(sampleRate: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val bb = ByteBuffer.allocate(WAV_HEADER + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      bb.putShort((mix(seed ^ i.toLong) & 0xffffL).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  case class WavAudio(sampleRate: Int, channels: Int, nFrames: Long,
+                      samples: Array[Byte], dataOffset: Int)
+
+  /** Parse 16-bit PCM WAV (walks chunks to find fmt/data — real RIFF
+    * traversal, not fixed offsets). */
+  def decodeWav(bytes: Array[Byte]): WavAudio = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(bytes.length >= 12 && bb.getInt(0) == 0x46464952, "not RIFF") // "RIFF"
+    require(bb.getInt(8) == 0x45564157, "not WAVE") // "WAVE"
+    var pos = 12
+    var sampleRate = -1; var channels = -1; var bps = -1
+    var dataOffset = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOffset < 0)) {
+      val id = bb.getInt(pos); val len = bb.getInt(pos + 4)
+      if (id == 0x20746d66) { // "fmt "
+        require(bb.getShort(pos + 8) == 1, "not PCM")
+        channels = bb.getShort(pos + 10).toInt
+        sampleRate = bb.getInt(pos + 12)
+        bps = bb.getShort(pos + 22).toInt
+      } else if (id == 0x61746164) { // "data"
+        dataOffset = pos + 8; dataLen = len
+      }
+      pos += 8 + len + (len & 1) // chunks pad to even
+    }
+    require(sampleRate > 0 && dataOffset > 0 && bps == 16, "missing fmt/data or not 16-bit")
+    WavAudio(sampleRate, channels, dataLen.toLong / (2L * channels), bytes, dataOffset)
+  }
+
+  /** 8-band feature: mean |amplitude| per time band, normalized to [0, 1]
+    * (shifted to [-1,1] for symmetry with the image feature). */
+  def wavBandFeatures(a: WavAudio, bands: Int): Array[Float] = {
+    val bb = ByteBuffer.wrap(a.samples).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Float](bands)
+    val counts = new Array[Long](bands)
+    val sums = new Array[Long](bands)
+    val n = a.nFrames * a.channels
+    var i = 0L
+    while (i < n) {
+      val band = if (n <= 1) 0 else (i * bands / n).toInt
+      sums(band) += math.abs(bb.getShort(a.dataOffset + (i * 2).toInt).toInt)
+      counts(band) += 1
+      i += 1
+    }
+    var b = 0
+    while (b < bands) {
+      out(b) = if (counts(b) == 0) 0f
+      else (sums(b).toDouble / counts(b) / 16384.0 - 1.0).toFloat
+      b += 1
+    }
+    out
+  }
+
+  private def mix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MediaDecoder backed by the pure-JVM codecs: dispatches on magic bytes
+  * (BM → BMP image, RIFF → WAV audio); anything else — e.g. video, which
+  * has no pure-JVM container format here — falls back to the supplied
+  * decoder (StubDecoder by default, still clearly marked as fake). */
+class JvmCodecDecoder(embeddingDim: Int = 8,
+                      fallback: Multimodal.MediaDecoder = new Multimodal.StubDecoder())
+    extends Multimodal.MediaDecoder {
+  import Multimodal._
+
+  override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val b = r.payload
+      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+        val img = Codecs.decodeBmp(b)
+        MediaFeatures(r.doc_id, r.kind, b.length,
+          width = img.width, height = img.height, channels = img.channels,
+          sample_rate = -1, n_frames = -1L, frame_offsets = Seq.empty,
+          embedding = Codecs.bmpBandFeatures(img, embeddingDim).toSeq)
+      } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+        val a = Codecs.decodeWav(b)
+        MediaFeatures(r.doc_id, r.kind, b.length,
+          width = -1, height = -1, channels = a.channels,
+          sample_rate = a.sampleRate, n_frames = a.nFrames,
+          frame_offsets = Seq.empty,
+          embedding = Codecs.wavBandFeatures(a, embeddingDim).toSeq)
+      } else fallback.decodeBatch(Seq(r)).head
+    }
+}

@@ -322,6 +322,23 @@ object Relational {
       .limit(100)
   }
 
+  /** The frontier-compaction kernel (Frontier.splitTopByPriority) under an
+    * exact oracle: top-500 orders by (price DESC, key ASC) via the
+    * histogram + boundary-cell split — no global sort, no global window —
+    * must equal DuckDB's ORDER BY/LIMIT answer exactly. */
+  private val topkSplitHistogram = Q(
+    "topk_split_histogram",
+    """SELECT urlHash, price FROM (
+      |  SELECT o_orderkey AS urlHash, round(o_totalprice, 2) AS price
+      |  FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 500)
+      |ORDER BY urlHash""".stripMargin) { (s, d) =>
+    val df = orders(s, d).select(
+      col("o_orderkey").as("urlHash"), col("o_totalprice").as("priority"))
+    val (top, _, _) = graft.crawl.Frontier.splitTopByPriority(df, 500L)
+    top.select(col("urlHash"), round(col("priority"), 2).as("price"))
+      .orderBy("urlHash")
+  }
+
   // -------------------------------------------------------------- set ops
   private val setopUnion = Q(
     "setop_union",
@@ -530,7 +547,7 @@ object Relational {
     joinBroadcast, joinMultiway, joinSortMerge, joinAnti, joinSemi,
     joinAsofLatest, joinTheta,
     windowRankPerKey, windowRunningSum, windowMovingAvg, windowSessionize,
-    windowTumbling, sortGlobal, topkLimit,
+    windowTumbling, sortGlobal, topkLimit, topkSplitHistogram,
     setopUnion, setopExcept,
     scalarString, scalarRegex, scalarDate, scalarMath, scalarArray,
     scalarMap, scalarJson, scalarCond, hash64, parseUrlHost, explodeLinks)

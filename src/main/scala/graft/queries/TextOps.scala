@@ -521,9 +521,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** REAL decode round-trip with an exact cross-engine oracle: media
+    * payloads are synthesized as actual BMP/WAV files whose dimensions are
+    * pure functions of doc_id, the JvmCodecDecoder parses the BYTES back
+    * (real header traversal, no stub), and DuckDB recomputes the expected
+    * metadata from the generation formulas — so a decoder that misreads a
+    * header fails the hash compare. Even/odd doc_id → image/audio. */
+  private val multimodalDecodeReal = Q(
+    "multimodal_decode_real",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 54 + ((((16 + doc_id % 32) * 3 + 3) // 4) * 4) * (8 + doc_id % 16)
+      |    ELSE 44 + (256 + doc_id % 128) * 2 END AS BIGINT) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 + doc_id % 32 ELSE -1 END AS INT) AS width,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 16 ELSE -1 END AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 8000 + (doc_id % 3) * 4000 END AS INT) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE 256 + doc_id % 128 END AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Codecs, JvmCodecDecoder, Multimodal}
+    val media = documents(s, d).select(col("doc_id").cast("long")).as[Long].map { id =>
+      if (id % 2 == 0)
+        Multimodal.MediaRow(id, "image",
+          Codecs.makeBmp((16 + id % 32).toInt, (8 + id % 16).toInt, seed = id))
+      else
+        Multimodal.MediaRow(id, "audio",
+          Codecs.makeWav((8000 + (id % 3) * 4000).toInt, (256 + id % 128).toInt, seed = id))
+    }
+    Multimodal.decode(media, new JvmCodecDecoder())
+      .toDF()
+      .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
+        col("height"), col("channels"), col("sample_rate"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhash, minhashSignature, dedupSimhash,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
-    multimodalDecode)
+    multimodalDecode, multimodalDecodeReal)
 }

@@ -106,6 +106,27 @@ class CuckooRetireSpec extends AnyFunSuite {
     assert(after.failed.join(after.seenExact, Seq("urlHash")).count() == 0)
   }
 
+  test("chunked retire: multi-pass (tiny chunks) equals the single-pass result") {
+    import spark.implicits._
+    val keys = (0L until 500L).map(i => i * 2654435761L)
+    val hashes = keys.toDF("urlHash")
+    val shards = Seen.buildCuckooShards(hashes, 8, 1024)
+    val retire = keys.filter(_ % 3 == 0).toDF("urlHash")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("shardId").collect()
+        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1).toSeq, r.getLong(2))).toSeq
+    val onePass = dump(Seen.retireFromCuckoo(shards, retire, 8)) // default chunk ≫ batch
+    val multiPass = dump(Seen.retireFromCuckoo(shards, retire, 8, chunkSize = 7))
+    assert(onePass == multiPass, "chunking must not change the retired shards")
+    // and retired keys no longer probe as contained (mod fp collisions)
+    val bits = multiPass.map { case (sid, b, _) => sid -> b.toArray }.toMap
+    val ghosts = keys.filter(_ % 3 == 0).count { k =>
+      val sid = java.lang.Math.floorMod(k, 8L).toInt
+      graft.filters.GraftCuckooFilter.containsSerialized(bits(sid), k)
+    }
+    assert(ghosts <= keys.length / 100, s"too many post-retire ghosts: $ghosts")
+  }
+
   test("partial retire: only the retried predicate leaves the subset") {
     val pred = pmod(col("urlHash"), lit(2L)) === 0
     val toRetry = crawled.failed.filter(pred).count()

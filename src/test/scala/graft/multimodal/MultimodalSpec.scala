@@ -70,6 +70,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sizes.forall(_ <= 2) && sizes.sum == 5)
   }
 
+  test("BMP round-trip: encode → decode recovers geometry and exact pixels") {
+    for ((w, h, seed) <- Seq((16, 8, 1L), (33, 17, 99L), (1, 1, 5L))) {
+      val bytes = Codecs.makeBmp(w, h, seed)
+      assert(bytes.length == Codecs.bmpSize(w, h))
+      val img = Codecs.decodeBmp(bytes)
+      assert(img.width == w && img.height == h && img.channels == 3)
+      // band features are pure functions of the pixels — same seed, same
+      // features; different seed differs
+      val f1 = Codecs.bmpBandFeatures(img, 8).toSeq
+      val f2 = Codecs.bmpBandFeatures(Codecs.decodeBmp(Codecs.makeBmp(w, h, seed)), 8).toSeq
+      assert(f1 == f2 && f1.size == 8)
+      assert(f1.forall(v => v >= -1f && v <= 1f))
+      if (w * h > 4)
+        assert(f1 != Codecs.bmpBandFeatures(Codecs.decodeBmp(Codecs.makeBmp(w, h, seed + 1)), 8).toSeq)
+    }
+  }
+
+  test("WAV round-trip: RIFF chunk walk recovers rate/frames; 16-bit samples feed bands") {
+    for ((rate, n, seed) <- Seq((8000, 256, 2L), (16000, 383, 7L))) {
+      val bytes = Codecs.makeWav(rate, n, seed)
+      assert(bytes.length == Codecs.wavSize(n))
+      val a = Codecs.decodeWav(bytes)
+      assert(a.sampleRate == rate && a.nFrames == n && a.channels == 1)
+      val f = Codecs.wavBandFeatures(a, 8).toSeq
+      assert(f.size == 8 && f.forall(v => v >= -1f && v <= 1f))
+    }
+  }
+
+  test("JvmCodecDecoder dispatches on magic bytes; non-codec payloads hit the fallback") {
+    val rows = Seq(
+      MediaRow(1L, "image", Codecs.makeBmp(20, 10, 1L)),
+      MediaRow(2L, "audio", Codecs.makeWav(12000, 300, 2L)),
+      MediaRow(3L, "video", Array.fill[Byte](640)(3))) // no container → stub
+    val out = new JvmCodecDecoder().decodeBatch(rows).sortBy(_.doc_id)
+    assert(out(0).width == 20 && out(0).height == 10 && out(0).channels == 3
+      && out(0).sample_rate == -1)
+    assert(out(1).sample_rate == 12000 && out(1).n_frames == 300 && out(1).width == -1)
+    assert(out(2).kind == "video" && out(2).n_frames == 10L) // stub semantics
+  }
+
+  test("real-codec decode pipeline is partition-count independent") {
+    val rows = (0L until 40L).map { id =>
+      if (id % 2 == 0) MediaRow(id, "image", Codecs.makeBmp((16 + id % 32).toInt, (8 + id % 16).toInt, id))
+      else MediaRow(id, "audio", Codecs.makeWav((8000 + (id % 3) * 4000).toInt, (256 + id % 128).toInt, id))
+    }.toDS()
+    val one = Multimodal.decode(rows.repartition(1), new JvmCodecDecoder())
+      .collect().sortBy(_.doc_id).toSeq
+    val many = Multimodal.decode(rows.repartition(7), new JvmCodecDecoder())
+      .collect().sortBy(_.doc_id).toSeq
+    assert(one == many)
+    assert(one.count(_.width > 0) == 20 && one.count(_.sample_rate > 0) == 20)
+  }
+
   test("mediaFromDocuments maps the documents table into the media schema") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = mediaFromDocuments(docs)
