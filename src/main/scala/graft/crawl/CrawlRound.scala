@@ -44,7 +44,14 @@ object CrawlRound {
   case class State(frontier: DataFrame, seenExact: DataFrame, bloomShards: DataFrame,
                    failed: DataFrame, cuckooShards: DataFrame,
                    spilled: Option[DataFrame] = None,
-                   frontierSize: Long = -1L, spilledSize: Long = -1L)
+                   frontierSize: Long = -1L, spilledSize: Long = -1L,
+                   /** Size of `failed`, maintained arithmetically (−1 =
+                     * unknown). 0 lets a clean round skip the whole
+                     * deletable-subset machinery: no cuckoo shard collect
+                     * job, no cuckoo probe term, no failed-side anti-joins
+                     * — per-round driver actions are the Amdahl fixed cost
+                     * that caps scaling efficiency at high parallelism. */
+                   failedSize: Long = -1L)
 
   /** `cached`: intermediates persisted inside run(); the caller MUST
     * materialize (checkpoint/write) `state` and `pages` first, then call
@@ -199,10 +206,18 @@ object CrawlRound {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    // failedSize after this round's failures (arithmetic; -1 stays unknown).
+    val failedSize2 =
+      if (state.failedSize >= 0) state.failedSize + nFailed else -1L
+    // A provably-empty deletable subset (failedSize2 == 0) skips its whole
+    // machinery: the cuckoo shard-collect job, the cuckoo probe term, and
+    // the failed-side anti-joins — the common clean-crawl case pays zero.
+    val haveFailed = failedSize2 != 0L
     val shardArraysF =
       if (cfg.broadcastBloomProbe) Some((
         Future(Seen.collectShardArray(bloomShards2, cfg.nShards)),
-        Future(Seen.collectShardArray(cuckooShards2, cfg.nShards))))
+        if (haveFailed) Future(Seen.collectShardArray(cuckooShards2, cfg.nShards))
+        else Future.successful(new Array[Array[Byte]](cfg.nShards))))
       else None
     val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val rawParts = timed("expand") {
@@ -224,17 +239,19 @@ object CrawlRound {
     // Pre-unioning them (the round-2 shape) would destroy the big side's
     // storage partitioning and re-shuffle the full tables every round.
     val exactSmall = Seq(okHashes) ++ failRowsOpt.toSeq
+    val exactBig = Seq(state.seenExact) ++ (if (haveFailed) Seq(state.failed) else Nil)
     val deduped = shardArraysF match {
       case Some((bloomF, cuckooF)) =>
         Seen.filterNewWithArrays(allowed,
           Await.result(bloomF, Duration.Inf),
-          Some(Await.result(cuckooF, Duration.Inf)),
-          exactBig = Seq(state.seenExact, state.failed),
+          if (haveFailed) Some(Await.result(cuckooF, Duration.Inf)) else None,
+          exactBig = exactBig,
           exactSmall = exactSmall, nShards = cfg.nShards)
       case None =>
         Seen.filterNew(allowed, seenExact2, bloomShards2,
           cfg.nShards, broadcastProbe = false,
-          failedHashes = Some(failed2), cuckooShards = Some(cuckooShards2))
+          failedHashes = if (haveFailed) Some(failed2) else None,
+          cuckooShards = if (haveFailed) Some(cuckooShards2) else None)
     }
     // The spill table holds frontier members too (just inactive ones), so
     // candidate dedup must anti-join it as well — it is committed bucketed
@@ -314,7 +331,7 @@ object CrawlRound {
     rawCandidates.unpersist()
     Output(pages, popped,
       State(frontier3, seenExact2, bloomShards2, failed2, cuckooShards2,
-        spilled2, frontierSize2, spilledSize2),
+        spilled2, frontierSize2, spilledSize2, failedSize2),
       lineage, partLineage,
       cached = Seq(popped, remaining, fetched, newEntries))
   }

@@ -43,7 +43,8 @@ object Crawler {
       ck(s.cuckooShards, prev.map(_.cuckooShards)))), Duration.Inf)
     val sp = s.spilled.map(df =>
       if (prev.exists(_.spilled.exists(_ eq df))) df else df.localCheckpoint(true))
-    CrawlRound.State(f, se, bs, fl, cks, sp, s.frontierSize, s.spilledSize)
+    CrawlRound.State(f, se, bs, fl, cks, sp,
+      s.frontierSize, s.spilledSize, s.failedSize)
   }
 
   def emptySeen(spark: SparkSession): DataFrame = {
@@ -76,7 +77,8 @@ object Crawler {
       seenExact = emptySeen(spark),
       bloomShards = emptyShards(spark),
       failed = emptyFailed(spark),
-      cuckooShards = emptyShards(spark))
+      cuckooShards = emptyShards(spark),
+      failedSize = 0L)
 
   /** Retire failed fetches matching `pred` back into the frontier for a
     * retry at `nextRound` (503s after a backoff window, infra incidents,
@@ -102,7 +104,10 @@ object Crawler {
     state.copy(
       frontier = state.frontier.unionByName(retryEntries),
       failed = keep,
-      cuckooShards = cuckoo2)
+      cuckooShards = cuckoo2,
+      // retire count is data-dependent (no job here): sizes go unknown and
+      // the next round falls back to the conservative probe path
+      failedSize = -1L, frontierSize = -1L)
   }
 
   def run(spark: SparkSession, seeds: Seq[String], fetcher: Fetcher,

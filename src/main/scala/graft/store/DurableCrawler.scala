@@ -51,7 +51,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
                         failedV: Long, cuckooV: Long,
                         pagesV: Long, lineageV: Long,
                         spilledV: Long = Long.MinValue,
-                        frontierSize: Long = -1L, spilledSize: Long = -1L)
+                        frontierSize: Long = -1L, spilledSize: Long = -1L,
+                        failedSize: Long = -1L)
 
   def lastCompleteRound: Option[Int] =
     if (Files.exists(logPointer)) Some(Files.readString(logPointer).trim.toInt) else None
@@ -81,7 +82,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       n.get("pagesV").asLong(), n.get("lineageV").asLong(),
       spilledV = optLong(n, "spilledV"),
       frontierSize = if (n.has("frontierSize")) n.get("frontierSize").asLong() else -1L,
-      spilledSize = if (n.has("spilledSize")) n.get("spilledSize").asLong() else -1L)
+      spilledSize = if (n.has("spilledSize")) n.get("spilledSize").asLong() else -1L,
+      failedSize = if (n.has("failedSize")) n.get("failedSize").asLong() else -1L)
   }
 
   private def writeEntry(e: RoundEntry): Unit = {
@@ -96,6 +98,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     if (e.spilledV != NO_TABLE) node.put("spilledV", e.spilledV)
     if (e.frontierSize >= 0) node.put("frontierSize", e.frontierSize)
     if (e.spilledSize >= 0) node.put("spilledSize", e.spilledSize)
+    if (e.failedSize >= 0) node.put("failedSize", e.failedSize)
     Files.writeString(logDir.resolve(s"round-${e.round}.json"), node.toString)
     val tmp = logDir.resolve(s".current.tmp.${e.round}")
     Files.writeString(tmp, e.round.toString)
@@ -112,7 +115,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       failed = if (e.failedV == NO_TABLE) Crawler.emptyFailed(spark) else failed.read(e.failedV),
       cuckooShards = if (e.cuckooV == NO_TABLE) Crawler.emptyShards(spark) else cuckoo.read(e.cuckooV),
       spilled = if (e.spilledV == NO_TABLE) None else Some(spilled.read(e.spilledV)),
-      frontierSize = e.frontierSize, spilledSize = e.spilledSize)
+      frontierSize = e.frontierSize, spilledSize = e.spilledSize,
+      failedSize = e.failedSize)
   }
 
   /** Round "-1": the seed state. Idempotent — safe to call on an
@@ -126,7 +130,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       shardsV = shards.commit(Crawler.emptyShards(spark)),
       failedV = failed.commit(Crawler.emptyFailed(spark)),
       cuckooV = cuckoo.commit(Crawler.emptyShards(spark)),
-      pagesV = -1L, lineageV = -1L))
+      pagesV = -1L, lineageV = -1L,
+      spilledSize = 0L, failedSize = 0L))
   }
 
   /** Lineage table rows: partitionId = -1 is the round total; every
@@ -179,7 +184,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         val e = RoundEntry(r, frontierV = fv, seenV = sv, shardsV = shv,
           failedV = flv, cuckooV = ckv, pagesV = pv, lineageV = lv,
           spilledV = spv, frontierSize = res.state.frontierSize,
-          spilledSize = res.state.spilledSize)
+          spilledSize = res.state.spilledSize,
+          failedSize = res.state.failedSize)
         if (r == failBeforeLogAt)
           throw new RuntimeException(s"injected kill before round-$r log commit")
         writeEntry(e)
