@@ -285,7 +285,16 @@ object CrawlRound {
     val (frontier3, spilled2, frontierSize2, spilledSize2, nEvicted, nReadmitted) =
       cfg.frontierCap match {
         case None =>
-          (frontier2, state.spilled, -1L, -1L, 0L, 0L)
+          state.spilled match {
+            case Some(sp) =>
+              // Cap REMOVED on a store that had spilled (resume with a
+              // different config): fold the whole spill back into the
+              // active frontier once — a passed-through spill would never
+              // pop, silently stranding its URLs forever.
+              val n = if (state.spilledSize >= 0) state.spilledSize else sp.count()
+              (frontier2.unionByName(sp), None, -1L, -1L, 0L, n)
+            case None => (frontier2, None, -1L, -1L, 0L, 0L)
+          }
         case Some(cap) =>
           val fSize =
             if (state.frontierSize >= 0) state.frontierSize - nPopped + nEnqueued

@@ -92,7 +92,10 @@ object Crawler {
   def retryFailed(state: CrawlRound.State, nextRound: Int,
                   cfg: CrawlConfig,
                   pred: org.apache.spark.sql.Column = lit(true)): CrawlRound.State = {
-    val toRetry = state.failed.filter(pred)
+    val toRetry = state.failed.filter(pred).persist()
+    // one small job keeps failedSize exact through the retire (the next
+    // round's clean-path skip depends on it); retire is a rare operation
+    val nRetired = toRetry.count()
     val keep = state.failed.join(toRetry.select("urlHash"), Seq("urlHash"), "left_anti")
     val cuckoo2 = Seen.retireFromCuckoo(
       state.cuckooShards, toRetry.select("urlHash"), cfg.nShards)
@@ -105,9 +108,9 @@ object Crawler {
       frontier = state.frontier.unionByName(retryEntries),
       failed = keep,
       cuckooShards = cuckoo2,
-      // retire count is data-dependent (no job here): sizes go unknown and
-      // the next round falls back to the conservative probe path
-      failedSize = -1L, frontierSize = -1L)
+      failedSize = if (state.failedSize >= 0) state.failedSize - nRetired else -1L,
+      // re-enqueued count after frontier dedup is data-dependent → unknown
+      frontierSize = -1L)
   }
 
   def run(spark: SparkSession, seeds: Seq[String], fetcher: Fetcher,

@@ -127,10 +127,14 @@ object Frontier {
     } else {
       // Degenerate cell (a priority flood): range-partitioned sort +
       // zipWithIndex — sorted partitions + per-partition offsets, still
-      // never a single-reducer window.
+      // never a single-reducer window. Persisted: BOTH outputs (top into
+      // the frontier, rest into the spill) read it, and each is
+      // materialized separately downstream (checkpoint + commit) — the
+      // expensive global sort must not run once per consumer.
       val schema = df.schema
       val indexed = boundary.orderBy(col("priority").desc, col("urlHash").asc)
         .rdd.zipWithIndex()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bTop = spark.createDataFrame(
         indexed.filter(_._2 < need).map(_._1), schema)
       val bRest = spark.createDataFrame(

@@ -71,9 +71,14 @@ object Seen {
                        nShards: Int, chunkSize: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shardId").orderBy("urlHash")
+    // Persisted: the maxChunk probe below materializes it once, and the
+    // per-chunk delete passes then reuse the cached rows instead of
+    // re-running the window shuffle+sort per chunk (evictable storage;
+    // retire batches are bounded by the failed set).
     val keyed = retireHashes
       .withColumn("shardId", shardFor(col("urlHash"), nShards))
       .withColumn("__chunk", ((row_number().over(w) - 1) / chunkSize).cast("int"))
+      .persist()
     val maxChunk = keyed.agg(max("__chunk")).head() match {
       case r if r.isNullAt(0) => return cuckooShards // empty retire batch
       case r => r.getInt(0)
@@ -206,6 +211,7 @@ object Seen {
       .sortWithinPartitions(col("shardId"), col("tag"))
     val outSchema = StructType(candSchema.fields :+ StructField("maybe_seen", BooleanType, nullable = false))
     val nCandCols = candSchema.length
+    val urlHashIdx = candSchema.fieldIndex("urlHash") // hoisted: per-row name lookup is a hot-path map probe
     parted.mapPartitions { it =>
       var curSid = Int.MinValue
       var bloomBytes: Array[Byte] = null
@@ -219,7 +225,7 @@ object Seen {
           Iterator.empty
         } else {
           val cand = r.getStruct(4)
-          val key = cand.getAs[Long]("urlHash")
+          val key = cand.getLong(urlHashIdx)
           val hit =
             (bloomBytes != null &&
               graft.filters.GraftBloomFilter.mightContainSerialized(bloomBytes, key)) ||

@@ -57,6 +57,9 @@ object Codecs {
     val height = bb.getInt(22)
     val bpp = bb.getShort(28).toInt
     require(bpp == 24 && bb.getInt(30) == 0, s"unsupported BMP variant (bpp=$bpp)")
+    require(width > 0 && height > 0 && dataOffset >= BMP_HEADER &&
+      dataOffset.toLong + bmpRowSize(width).toLong * height <= bytes.length,
+      "truncated or inconsistent BMP")
     BmpImage(width, height, 3, bytes, bmpRowSize(width), dataOffset)
   }
 
@@ -126,6 +129,9 @@ object Codecs {
     var dataOffset = -1; var dataLen = -1
     while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOffset < 0)) {
       val id = bb.getInt(pos); val len = bb.getInt(pos + 4)
+      // corrupt/malicious chunk lengths must fail, not spin: a negative
+      // len can make the position advance by zero (len = -8) or cycle
+      require(len >= 0, s"negative RIFF chunk length $len")
       if (id == 0x20746d66) { // "fmt "
         require(bb.getShort(pos + 8) == 1, "not PCM")
         channels = bb.getShort(pos + 10).toInt
@@ -134,7 +140,7 @@ object Codecs {
       } else if (id == 0x61746164) { // "data"
         dataOffset = pos + 8; dataLen = len
       }
-      pos += 8 + len + (len & 1) // chunks pad to even
+      pos += 8 + len + (len & 1) // chunks pad to even; len ≥ 0 ⇒ advance ≥ 8
     }
     require(sampleRate > 0 && dataOffset > 0 && bps == 16, "missing fmt/data or not 16-bit")
     WavAudio(sampleRate, channels, dataLen.toLong / (2L * channels), bytes, dataOffset)
@@ -175,28 +181,37 @@ object Codecs {
 /** MediaDecoder backed by the pure-JVM codecs: dispatches on magic bytes
   * (BM → BMP image, RIFF → WAV audio); anything else — e.g. video, which
   * has no pure-JVM container format here — falls back to the supplied
-  * decoder (StubDecoder by default, still clearly marked as fake). */
+  * decoder (StubDecoder by default, still clearly marked as fake).
+  *
+  * Robust per row: real-web payloads lie — a 'BM' prefix can front a
+  * compressed/32bpp BMP or a truncated file, 'RIFF' can be an AVI. Any
+  * decode failure (require or buffer underflow) falls back for THAT row
+  * instead of failing the whole batch/stage. */
 class JvmCodecDecoder(embeddingDim: Int = 8,
                       fallback: Multimodal.MediaDecoder = new Multimodal.StubDecoder())
     extends Multimodal.MediaDecoder {
   import Multimodal._
+  import scala.util.control.NonFatal
 
   override def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
     batch.map { r =>
       val b = r.payload
-      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
-        val img = Codecs.decodeBmp(b)
-        MediaFeatures(r.doc_id, r.kind, b.length,
-          width = img.width, height = img.height, channels = img.channels,
-          sample_rate = -1, n_frames = -1L, frame_offsets = Seq.empty,
-          embedding = Codecs.bmpBandFeatures(img, embeddingDim).toSeq)
-      } else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
-        val a = Codecs.decodeWav(b)
-        MediaFeatures(r.doc_id, r.kind, b.length,
-          width = -1, height = -1, channels = a.channels,
-          sample_rate = a.sampleRate, n_frames = a.nFrames,
-          frame_offsets = Seq.empty,
-          embedding = Codecs.wavBandFeatures(a, embeddingDim).toSeq)
-      } else fallback.decodeBatch(Seq(r)).head
+      try {
+        if (b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M') {
+          val img = Codecs.decodeBmp(b)
+          MediaFeatures(r.doc_id, r.kind, b.length,
+            width = img.width, height = img.height, channels = img.channels,
+            sample_rate = -1, n_frames = -1L, frame_offsets = Seq.empty,
+            embedding = Codecs.bmpBandFeatures(img, embeddingDim).toSeq)
+        } else if (b != null && b.length >= 4 &&
+            b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
+          val a = Codecs.decodeWav(b)
+          MediaFeatures(r.doc_id, r.kind, b.length,
+            width = -1, height = -1, channels = a.channels,
+            sample_rate = a.sampleRate, n_frames = a.nFrames,
+            frame_offsets = Seq.empty,
+            embedding = Codecs.wavBandFeatures(a, embeddingDim).toSeq)
+        } else fallback.decodeBatch(Seq(r)).head
+      } catch { case NonFatal(_) => fallback.decodeBatch(Seq(r)).head }
     }
 }

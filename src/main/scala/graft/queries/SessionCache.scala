@@ -18,10 +18,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SessionCache {
 
-  private val cache = new ConcurrentHashMap[(Int, String), DataFrame]()
+  private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
 
   /** Memoized `build.persist()` for this session — `key` must encode every
-    * input that changes the result (the data dir, parameters). */
+    * input that changes the result (the data dir, parameters). Keyed by
+    * the session's UUID (unique — an identityHashCode key could collide
+    * with a stopped session's and hand out a plan bound to a dead
+    * SparkContext). Entries for stopped sessions are inert map rows; the
+    * harness runs one session per JVM, so growth is bounded. */
   def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(s), key), _ => build.persist())
+    cache.computeIfAbsent((sessionKey(s), key), _ => build.persist())
+
+  /** Unique per-session id. Spark 4 exposes sessionUUID on the classic
+    * implementation only (via GraftSqlBridge); identityHashCode is the
+    * (collision-prone, hence non-preferred) fallback for exotic session
+    * types. */
+  def sessionKey(s: SparkSession): String =
+    org.apache.spark.sql.GraftSqlBridge.sessionUUID(s)
+      .getOrElse("idhash-" + System.identityHashCode(s))
 }

@@ -217,9 +217,9 @@ object VectorOps {
     * index amortized over many queries; ann_ivf_topk and ann_ivf_recall
     * stop re-training per invocation). Probing and re-rank stay per-call. */
   private val centsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Double]]()
   private def centroids(s: SparkSession, d: String): Array[Double] =
-    centsCache.computeIfAbsent((System.identityHashCode(s), d),
+    centsCache.computeIfAbsent((SessionCache.sessionKey(s), d),
       _ => ivfCentroids(embWithNorm(s, d)).flatten.toArray)
 
   /** sims(embedding, centroid_j) for all j — argmax is scale-invariant, so

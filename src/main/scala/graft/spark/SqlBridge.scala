@@ -9,4 +9,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Unique id of a session (private[sql] on the classic implementation;
+    * SessionCache keys on it — identityHashCode can collide with a stopped
+    * session's and hand out plans bound to a dead SparkContext). */
+  def sessionUUID(s: SparkSession): Option[String] = s match {
+    case c: classic.SparkSession => Some(c.sessionUUID)
+    case _ => None
+  }
 }

@@ -159,6 +159,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     var r = start
     var continue = true
     while (r <= untilRound && continue) {
+      val prevEntry = entry(r - 1)
       val state = stateAt(r - 1)
       val res = CrawlRound.run(spark, state, robots, budgets, defaultBudget,
         fetcher, r, cfg)
@@ -168,16 +169,27 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         // run them concurrently (serial parquet-write latencies never
         // amortize). The round-log entry BELOW remains the linearization
         // point: until it swaps, none of these versions are referenced.
+        // A table CrawlRound returned BY REFERENCE from the state this
+        // round read (failed/cuckoo on clean rounds, the spill between
+        // compactions) is unchanged — its previous committed version is
+        // REUSED instead of rescanning and rewriting the table, which for
+        // the spill is by design the biggest table in the engine.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
-        val spF = res.state.spilled.map(df => Future(spilled.commit(df)))
+        def commitOrReuse(df: org.apache.spark.sql.DataFrame,
+                          prevDf: org.apache.spark.sql.DataFrame,
+                          table: SnapshotTable, prevV: Long): Future[Long] =
+          if ((df eq prevDf) && prevV != NO_TABLE) Future.successful(prevV)
+          else Future(table.commit(df))
+        val spF = res.state.spilled.map(df =>
+          commitOrReuse(df, state.spilled.orNull, spilled, prevEntry.spilledV))
         val Seq(fv, sv, shv, flv, ckv, pv, lv) = Await.result(Future.sequence(Seq(
           Future(frontier.commit(res.state.frontier)),
           Future(seen.commit(res.state.seenExact)),
           Future(shards.commit(res.state.bloomShards)),
-          Future(failed.commit(res.state.failed)),
-          Future(cuckoo.commit(res.state.cuckooShards)),
+          commitOrReuse(res.state.failed, state.failed, failed, prevEntry.failedV),
+          commitOrReuse(res.state.cuckooShards, state.cuckooShards, cuckoo, prevEntry.cuckooV),
           Future(pages.commit(res.pages)),
           Future(lineage.commit(lineageDf(res, r))))), Duration.Inf)
         val spv = spF.map(Await.result(_, Duration.Inf)).getOrElse(Long.MinValue)

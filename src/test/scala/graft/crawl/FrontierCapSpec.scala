@@ -121,6 +121,32 @@ class FrontierCapSpec extends AnyFunSuite {
       "eviction + re-admission must never lose a URL")
   }
 
+  test("removing the cap folds the spill back into the frontier — nothing stranded") {
+    // capped run spills; continuing the SAME state uncapped must re-admit
+    // every spilled url (a passed-through spill would never pop again)
+    val spilled0 = capped.state.spilled.get.select("urlHash")
+      .collect().map(_.getLong(0)).toSet
+    assume(spilled0.nonEmpty)
+    val corpus = () => {
+      import spark.implicits._
+      SyntheticCorpus.pages(spark, CrawlFixture.N_URLS, nHosts = CrawlFixture.N_HOSTS).toDF()
+    }
+    val robots = Robots.load(spark, s"${CrawlFixture.fixturesDir}/robots.json")
+    val (budgets, default) = Robots.loadBudgets(spark, s"${CrawlFixture.fixturesDir}/budgets.json")
+    val out = CrawlRound.run(spark, capped.state, robots, budgets, default,
+      new graft.fetch.CorpusFetcher(corpus), CrawlFixture.ROUNDS, CrawlFixture.cfg) // cap = None
+    assert(out.state.spilled.isEmpty, "uncapped round must absorb the spill")
+    assert(out.lineage.readmitted == spilled0.size)
+    val frontierHashes = out.state.frontier.select("urlHash")
+      .collect().map(_.getLong(0)).toSet
+    val popped = out.popped.select("urlHash").collect().map(_.getLong(0)).toSet
+    val seen = out.state.seenExact.select("urlHash").collect().map(_.getLong(0)).toSet ++
+      out.state.failed.select("urlHash").collect().map(_.getLong(0)).toSet
+    assert(spilled0.forall(h => frontierHashes(h) || popped(h) || seen(h)),
+      "every spilled url must be back in play")
+    out.unpersistCached()
+  }
+
   test("splitTopByPriority is an exact deterministic top-n at any partitioning") {
     import spark.implicits._
     // unique urlHash (odd multiplier, no mod) — ties in priority are

@@ -110,6 +110,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2).kind == "video" && out(2).n_frames == 10L) // stub semantics
   }
 
+  test("malformed payloads with codec magic bytes fall back per row, never hang or fail the batch") {
+    val evilWav = { // RIFF/WAVE whose first chunk declares length -8 (zero advance)
+      val bb = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(-8)
+      bb.array()
+    }
+    val truncatedBmp = Codecs.makeBmp(20, 10, 1L).take(30) // header cut mid-way
+    val lyingBmp = { // claims 1000x1000 but has no pixel data
+      val b = Codecs.makeBmp(4, 2, 1L)
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(18, 1000).putInt(22, 1000)
+      b
+    }
+    val rows = Seq(
+      MediaRow(1L, "audio", evilWav),
+      MediaRow(2L, "image", truncatedBmp),
+      MediaRow(3L, "image", lyingBmp),
+      MediaRow(4L, "image", Codecs.makeBmp(8, 4, 9L))) // one good row
+    val out = new JvmCodecDecoder().decodeBatch(rows).sortBy(_.doc_id)
+    assert(out.length == 4, "every row must come back")
+    // bad rows carry stub (fallback) features, the good row real ones
+    assert(out(3).width == 8 && out(3).height == 4)
+    assert(out(2).width != 1000, "lying header must not be trusted")
+  }
+
   test("real-codec decode pipeline is partition-count independent") {
     val rows = (0L until 40L).map { id =>
       if (id % 2 == 0) MediaRow(id, "image", Codecs.makeBmp((16 + id % 32).toInt, (8 + id % 16).toInt, id))
