@@ -96,6 +96,24 @@ object CrawlRound {
     // frontier — the largest table in the round.
     val remaining = remaining0.persist(StorageLevel.MEMORY_AND_DISK)
 
+    // The dedup prefilter probes the COMMITTED (previous-round) shard
+    // tables, so their collect jobs have no dependency on this round's
+    // fetch and launch NOW — fully off the critical path (per-round serial
+    // driver time is the Amdahl fixed cost). This round's own ok/fail
+    // hashes are excluded EXACTLY by the post-union broadcast anti-chain
+    // below, so the stale prefilter never lets a just-popped url through:
+    // prefilters only reroute work, the exact layer decides.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val haveFailedOld = state.failedSize != 0L
+    val oldShardArraysF =
+      if (cfg.broadcastBloomProbe) Some((
+        Future(Seen.collectShardArray(state.bloomShards, cfg.nShards)),
+        if (haveFailedOld) Future(Seen.collectShardArray(state.cuckooShards, cfg.nShards))
+        else Future.successful(new Array[Array[Byte]](cfg.nShards))))
+      else None
+
     // One job yields popped+fetched PER PARTITION (the lineage contract):
     // the Fetcher contract is strictly 1:1 per popped url (Fetcher trait
     // scaladoc; asserted in CrawlSpec), so fetched rows = popped rows and
@@ -120,11 +138,12 @@ object CrawlRound {
       .select("url", "urlHash", "host", "depth", "round", "popRank",
         "status", "fetchTs", "lang", "itemText", "metrics")
 
-    // Seen-set update FIRST (a stale filter would let just-popped urls back
-    // in as "definitely new" — the prefilters must stay supersets of their
-    // exact tables). Successful fetches go to the PERMANENT subset
-    // (seenExact + bloom); failures go to the DELETABLE subset (failed +
-    // cuckoo) so they can later be retired for retry (Crawler.retryFailed).
+    // Seen-set update for the NEXT round's prefilters and the commit.
+    // (This round's probe uses the committed tables — see above — and the
+    // post-union anti-chain covers okHashes/failRows exactly.) Successful
+    // fetches go to the PERMANENT subset (seenExact + bloom); failures go
+    // to the DELETABLE subset (failed + cuckoo) so they can later be
+    // retired for retry (Crawler.retryFailed).
     val okHashes = fetched.filter(col("status") === 200).select("urlHash")
     val seenExact2 = state.seenExact.unionByName(okHashes)
     val deltaShards = Seen.buildBloomShards(
@@ -198,27 +217,12 @@ object CrawlRound {
         (f2, merged)
     }
 
-    // Frontier expansion with dedup-before-shuffle. The shard-table
-    // collects (independent Spark jobs whose only input is the popped
-    // cache) run CONCURRENTLY with the expansion count — serial driver
-    // time between actions is per-round fixed cost, the Amdahl fraction
-    // that caps scaling efficiency at high parallelism.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    // Frontier expansion with dedup-before-shuffle. The committed-shard
+    // collects launched at round start have been running alongside the
+    // whole fetch wave by now.
     // failedSize after this round's failures (arithmetic; -1 stays unknown).
     val failedSize2 =
       if (state.failedSize >= 0) state.failedSize + nFailed else -1L
-    // A provably-empty deletable subset (failedSize2 == 0) skips its whole
-    // machinery: the cuckoo shard-collect job, the cuckoo probe term, and
-    // the failed-side anti-joins — the common clean-crawl case pays zero.
-    val haveFailed = failedSize2 != 0L
-    val shardArraysF =
-      if (cfg.broadcastBloomProbe) Some((
-        Future(Seen.collectShardArray(bloomShards2, cfg.nShards)),
-        if (haveFailed) Future(Seen.collectShardArray(cuckooShards2, cfg.nShards))
-        else Future.successful(new Array[Array[Byte]](cfg.nShards))))
-      else None
     val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val rawParts = timed("expand") {
       rawCandidates.groupBy(spark_partition_id().as("pid"))
@@ -234,30 +238,34 @@ object CrawlRound {
     // Exact layer in COMPONENTS: the committed seen/failed tables are the
     // BIG sides (hash-bucketed snapshots — their scans arrive
     // pre-partitioned on urlHash, so the anti-join chain exchanges only
-    // the small maybe-seen remainder, once); this round's ok/fail hashes
-    // are tiny per-round deltas that broadcast-anti with no shuffle.
-    // Pre-unioning them (the round-2 shape) would destroy the big side's
-    // storage partitioning and re-shuffle the full tables every round.
-    val exactSmall = Seq(okHashes) ++ failRowsOpt.toSeq
-    val exactBig = Seq(state.seenExact) ++ (if (haveFailed) Seq(state.failed) else Nil)
-    val deduped = shardArraysF match {
+    // the small maybe-seen remainder, once). Both the prefilter and the
+    // big exact layer use the COMMITTED state (so the shard collects
+    // overlapped the fetch wave); this round's ok/fail deltas are excluded
+    // exactly by the post-union broadcast anti-chain below, which must
+    // cover BOTH probe branches — a candidate the stale prefilter calls
+    // "definitely new" can be a url fetched this very round.
+    val exactBig = Seq(state.seenExact) ++ (if (haveFailedOld) Seq(state.failed) else Nil)
+    val deduped = oldShardArraysF match {
       case Some((bloomF, cuckooF)) =>
         Seen.filterNewWithArrays(allowed,
           Await.result(bloomF, Duration.Inf),
-          if (haveFailed) Some(Await.result(cuckooF, Duration.Inf)) else None,
+          if (haveFailedOld) Some(Await.result(cuckooF, Duration.Inf)) else None,
           exactBig = exactBig,
-          exactSmall = exactSmall, nShards = cfg.nShards)
+          exactSmall = Nil, nShards = cfg.nShards)
       case None =>
-        Seen.filterNew(allowed, seenExact2, bloomShards2,
+        Seen.filterNew(allowed, state.seenExact, state.bloomShards,
           cfg.nShards, broadcastProbe = false,
-          failedHashes = if (haveFailed) Some(failed2) else None,
-          cuckooShards = if (haveFailed) Some(cuckooShards2) else None)
+          failedHashes = if (haveFailedOld) Some(state.failed) else None,
+          cuckooShards = if (haveFailedOld) Some(state.cuckooShards) else None)
     }
     // The spill table holds frontier members too (just inactive ones), so
     // candidate dedup must anti-join it as well — it is committed bucketed
-    // by urlHash like the frontier, keeping the chain one-exchange.
+    // by urlHash like the frontier, keeping the chain one-exchange. The
+    // ok/fail deltas ride the same chain as broadcast antis (they apply to
+    // ALL candidates, not just the maybe-seen remainder — see above).
     val frontierMembers = Seq(state.frontier) ++ state.spilled.toSeq
-    val newEntries = Seen.antiChain(deduped, frontierMembers, Nil)
+    val exactSmall = Seq(okHashes) ++ failRowsOpt.toSeq
+    val newEntries = Seen.antiChain(deduped, frontierMembers, exactSmall)
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")
       .persist(StorageLevel.MEMORY_AND_DISK)
