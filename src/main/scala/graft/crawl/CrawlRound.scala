@@ -310,7 +310,11 @@ object CrawlRound {
           val spSize =
             if (state.spilledSize >= 0) state.spilledSize
             else state.spilled.map(_.count()).getOrElse(0L)
-          val needCompact = fSize > cap || (fSize < cap / 2 && spSize > 0)
+          // max(1, cap/2): integer division at cap=1 would make the
+          // re-admission threshold 0, so a fully drained active frontier
+          // (fSize=0) could never re-admit waiting spill — stranding those
+          // URLs forever and breaking eventual completeness.
+          val needCompact = fSize > cap || (fSize < math.max(1L, cap / 2) && spSize > 0)
           if (!needCompact) (frontier2, state.spilled, fSize, spSize, 0L, 0L)
           else {
             val members = state.spilled.map(frontier2.unionByName).getOrElse(frontier2)

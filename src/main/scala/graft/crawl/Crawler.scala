@@ -93,24 +93,35 @@ object Crawler {
                   cfg: CrawlConfig,
                   pred: org.apache.spark.sql.Column = lit(true)): CrawlRound.State = {
     val toRetry = state.failed.filter(pred).persist()
-    // one small job keeps failedSize exact through the retire (the next
-    // round's clean-path skip depends on it); retire is a rare operation
-    val nRetired = toRetry.count()
-    val keep = state.failed.join(toRetry.select("urlHash"), Seq("urlHash"), "left_anti")
-    val cuckoo2 = Seen.retireFromCuckoo(
-      state.cuckooShards, toRetry.select("urlHash"), cfg.nShards)
-    val retryEntries = toRetry
-      .select(col("url"), col("urlHash"), col("host"), col("priority"),
-        col("depth"), lit(nextRound).as("round"))
-      .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
-      .select("url", "urlHash", "host", "priority", "depth", "round")
-    state.copy(
-      frontier = state.frontier.unionByName(retryEntries),
-      failed = keep,
-      cuckooShards = cuckoo2,
-      failedSize = if (state.failedSize >= 0) state.failedSize - nRetired else -1L,
-      // re-enqueued count after frontier dedup is data-dependent → unknown
-      frontierSize = -1L)
+    try {
+      // one small job keeps failedSize exact through the retire (the next
+      // round's clean-path skip depends on it); retire is a rare operation
+      val nRetired = toRetry.count()
+      val keep = state.failed.join(toRetry.select("urlHash"), Seq("urlHash"), "left_anti")
+      val cuckoo2 = Seen.retireFromCuckoo(
+        state.cuckooShards, toRetry.select("urlHash"), cfg.nShards)
+      val retryEntries = toRetry
+        .select(col("url"), col("urlHash"), col("host"), col("priority"),
+          col("depth"), lit(nextRound).as("round"))
+        .join(state.frontier.select("urlHash"), Seq("urlHash"), "left_anti")
+        .select("url", "urlHash", "host", "priority", "depth", "round")
+      // Checkpoint the two tables whose plans reference `toRetry` eagerly
+      // (concurrently — independent jobs) so its cached blocks release on
+      // return instead of leaking until the caller's next state checkpoint.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val Seq(frontier2, keep2) = Await.result(Future.sequence(Seq(
+        Future(state.frontier.unionByName(retryEntries).localCheckpoint(true)),
+        Future(keep.localCheckpoint(true)))), Duration.Inf)
+      state.copy(
+        frontier = frontier2,
+        failed = keep2,
+        cuckooShards = cuckoo2,
+        failedSize = if (state.failedSize >= 0) state.failedSize - nRetired else -1L,
+        // re-enqueued count after frontier dedup is data-dependent → unknown
+        frontierSize = -1L)
+    } finally toRetry.unpersist()
   }
 
   def run(spark: SparkSession, seeds: Seq[String], fetcher: Fetcher,

@@ -80,72 +80,86 @@ object Frontier {
 
   /** Exact global top-`n` split by (priority DESC, urlHash ASC) — the
     * frontier-compaction kernel. A global rank window would funnel the
-    * whole table through one reducer; instead:
+    * whole table through one reducer, and a global sort would shuffle the
+    * whole 10^10-row table; instead this is a distributed RADIX SELECT of
+    * the exact n-th composite key:
     *
-    *  1. ONE narrow aggregate histograms the monotone 16-bit
-    *     priority_bucket (≤ 2^16 rows to the driver);
-    *  2. whole buckets strictly above the threshold bucket are kept by a
-    *     map-side filter (no shuffle, no sort);
-    *  3. only the BOUNDARY bucket — one quantization cell — is exactly
-    *     ranked, via a range-partitioned sort + zipWithIndex (the
-    *     scale-shaped exact top-k: sorted partitions + per-partition
-    *     offsets, never a single-reducer window). Ordering is total
-    *     (urlHash unique), so the split is deterministic at any partition
-    *     count.
+    *  1. one narrow aggregate histograms the first 16-bit digit of the
+    *     (priority DESC, urlHash ASC) radix key (≤ 2^16 rows to the
+    *     driver — graft.expr.PriorityBucket.radixDigit);
+    *  2. the walk locates the boundary digit; the cell shrinks ~2^16× per
+    *     level, and LOWER digit levels (next priority bits, then urlHash
+    *     bits — hashes are unique, so some level always splits) repeat the
+    *     histogram ONLY while the cell stays larger than
+    *     [[SMALL_COLLECT_CAP]] — a priority flood of millions of equal
+    *     priorities costs a couple of extra narrow aggregates, never a
+    *     sort, never a multi-MB driver collect;
+    *  3. once the cell is ≤ [[SMALL_COLLECT_CAP]], its 16-byte keys visit
+    *     the driver (≤ ~64 KB) and the exact n-th key is picked locally.
+    *
+    * The split itself is then ONE map-side struct-comparison filter against
+    * the boundary key — no unions, no shuffle, whole-stage codegen, the
+    * same filter at any partition count (deterministic: the ordering is
+    * total because urlHash is unique per entry — the documented input
+    * contract, enforced with a clear error if digits exhaust).
     *
     * @return (top, rest, nRest) where top holds exactly min(n, |df|) rows.
     *         Requires columns (priority, urlHash); all columns survive. */
   def splitTopByPriority(df: DataFrame, n: Long): (DataFrame, DataFrame, Long) = {
-    import graft.expr.PriorityBucket.priority_bucket
-    val spark = df.sparkSession
-    val bucket = priority_bucket(col("priority"))
-    val hist = df.groupBy(bucket.as("__b")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
-    val total = hist.map(_._2).sum
+    import graft.expr.PriorityBucket.radix_digit16
+    def digitCol(level: Int) = radix_digit16(col("priority"), col("urlHash"), level)
+    def histogram(cell: DataFrame, level: Int): Array[(Int, Long)] =
+      cell.groupBy(digitCol(level).as("__d")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+
+    val hist0 = histogram(df, 0)
+    val total = hist0.map(_._2).sum
+    lastMaxCollected = hist0.length.toLong
     if (total <= n) return (df, df.limit(0), 0L)
-    // walk buckets high→low until the cumulative count crosses n
-    var cum = 0L; var bi = 0
-    while (bi < hist.length && cum + hist(bi)._2 <= n) { cum += hist(bi)._2; bi += 1 }
-    val bBoundary = hist(bi)._1
-    val countB = hist(bi)._2
-    val need = n - cum
-    val keepWhole = df.filter(bucket > lit(bBoundary))
-    val below = df.filter(bucket < lit(bBoundary))
-    val boundary = df.filter(bucket === lit(bBoundary))
-    if (need == 0L) return (keepWhole, below.unionByName(boundary), total - n)
-    if (countB <= BOUNDARY_COLLECT_CAP) {
-      // One quantization cell, small enough for its 16-byte KEYS to visit
-      // the driver: pick the exact need-th key and split by a map-side
-      // struct-comparison filter — no sort, no extra shuffle.
-      val keys = boundary.select(col("priority"), col("urlHash")).collect()
-        .map(r => (-r.getDouble(0), r.getLong(1))).sorted
-      val (np, h) = keys(need.toInt - 1)
-      val keyCol = struct((col("priority") * -1).as("a"), col("urlHash").as("b"))
-      val thr = struct(lit(np).as("a"), lit(h).as("b"))
-      (keepWhole.unionByName(boundary.filter(keyCol <= thr)),
-        below.unionByName(boundary.filter(keyCol > thr)), total - n)
-    } else {
-      // Degenerate cell (a priority flood): range-partitioned sort +
-      // zipWithIndex — sorted partitions + per-partition offsets, still
-      // never a single-reducer window. Persisted: BOTH outputs (top into
-      // the frontier, rest into the spill) read it, and each is
-      // materialized separately downstream (checkpoint + commit) — the
-      // expensive global sort must not run once per consumer.
-      val schema = df.schema
-      val indexed = boundary.orderBy(col("priority").desc, col("urlHash").asc)
-        .rdd.zipWithIndex()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bTop = spark.createDataFrame(
-        indexed.filter(_._2 < need).map(_._1), schema)
-      val bRest = spark.createDataFrame(
-        indexed.filter(_._2 >= need).map(_._1), schema)
-      (keepWhole.unionByName(bTop), below.unionByName(bRest), total - n)
+
+    // Radix-select the exact n-th smallest composite key (digit order is
+    // exactly pop order: priority desc, urlHash asc).
+    var rank = n // 1-indexed rank of the boundary key within the cell
+    var cell = df
+    var cellCount = total
+    var level = 0
+    var histOpt: Option[Array[(Int, Long)]] = Some(hist0)
+    var boundary: (Double, Long) = null
+    while (boundary == null) {
+      if (cellCount <= SMALL_COLLECT_CAP) {
+        val keys = cell.select(col("priority"), col("urlHash")).collect()
+          .map(r => (-r.getDouble(0), r.getLong(1))).sorted
+        lastMaxCollected = math.max(lastMaxCollected, keys.length.toLong)
+        val (np, h) = keys(rank.toInt - 1)
+        boundary = (np, h)
+      } else {
+        require(level < 8,
+          s"radix digits exhausted with $cellCount rows in one cell: " +
+            "urlHash is not unique in this frontier (input contract violation)")
+        val hist = histOpt.getOrElse(histogram(cell, level))
+        histOpt = None
+        lastMaxCollected = math.max(lastMaxCollected, hist.length.toLong)
+        var cum = 0L; var i = 0
+        while (cum + hist(i)._2 < rank) { cum += hist(i)._2; i += 1 }
+        rank -= cum
+        cellCount = hist(i)._2
+        cell = cell.filter(digitCol(level) === lit(hist(i)._1))
+        level += 1
+      }
     }
+    val keyCol = struct((col("priority") * -1).as("a"), col("urlHash").as("b"))
+    val thr = struct(lit(boundary._1).as("a"), lit(boundary._2).as("b"))
+    (df.filter(keyCol <= thr), df.filter(keyCol > thr), total - n)
   }
 
-  /** Boundary cells up to this size split via a driver key-select (two
-    * narrow columns); larger cells use the distributed sort path. */
-  private val BOUNDARY_COLLECT_CAP = 2000000L
+  /** Cells at or below this row count resolve via a driver key-select (two
+    * narrow columns, ≤ ~64 KB); larger cells recurse another digit level. */
+  private[crawl] val SMALL_COLLECT_CAP = 4096L
+
+  /** Test instrumentation only: the largest driver-side collect (histogram
+    * entries or boundary keys) of the most recent splitTopByPriority call —
+    * lets specs pin that a priority flood never grows the driver footprint. */
+  @volatile private[graft] var lastMaxCollected: Long = 0L
 
   private val HREF_PATTERN = """href="([^"]+)""""
 

@@ -76,4 +76,9 @@ case class CrawlConfig(
       * a 10^10-URL discovery never grows unbounded state, and no URL is
       * ever lost (eventual-completeness pinned by FrontierCapSpec). None =
       * unbounded (the default; small crawls never pay the histogram). */
-    frontierCap: Option[Long] = None)
+    frontierCap: Option[Long] = None) {
+  // cap=0 would strand every enqueued URL in the spill immediately (an
+  // active frontier that can hold nothing never pops, never drains, never
+  // re-admits) — refuse it at construction, not mid-crawl.
+  require(frontierCap.forall(_ >= 1), s"frontierCap must be >= 1, got $frontierCap")
+}

@@ -79,21 +79,29 @@ object Seen {
       .withColumn("shardId", shardFor(col("urlHash"), nShards))
       .withColumn("__chunk", ((row_number().over(w) - 1) / chunkSize).cast("int"))
       .persist()
-    val maxChunk = keyed.agg(max("__chunk")).head() match {
-      case r if r.isNullAt(0) => return cuckooShards // empty retire batch
-      case r => r.getInt(0)
-    }
-    (0 to maxChunk).foldLeft(cuckooShards) { (shards, k) =>
-      val dels = keyed.filter(col("__chunk") === k)
-        .groupBy("shardId")
-        .agg(collect_list("urlHash").as("dels"), count(lit(1)).as("nDels"))
-      shards.join(dels, Seq("shardId"), "left")
-        .select(
-          col("shardId"),
-          when(col("dels").isNull, col("bits"))
-            .otherwise(FilterExprs.cuckoo_delete_all(col("bits"), col("dels"))).as("bits"),
-          (col("numKeys") - coalesce(col("nDels"), lit(0L))).as("numKeys"))
-    }
+    try {
+      val maxChunk = keyed.agg(max("__chunk")).head() match {
+        case r if r.isNullAt(0) => return cuckooShards // empty retire batch
+        case r => r.getInt(0)
+      }
+      val merged = (0 to maxChunk).foldLeft(cuckooShards) { (shards, k) =>
+        val dels = keyed.filter(col("__chunk") === k)
+          .groupBy("shardId")
+          .agg(collect_list("urlHash").as("dels"), count(lit(1)).as("nDels"))
+        shards.join(dels, Seq("shardId"), "left")
+          .select(
+            col("shardId"),
+            when(col("dels").isNull, col("bits"))
+              .otherwise(FilterExprs.cuckoo_delete_all(col("bits"), col("dels"))).as("bits"),
+            (col("numKeys") - coalesce(col("nDels"), lit(0L))).as("numKeys"))
+      }
+      // Materialize eagerly (≤ nShards small rows) so `keyed` can be
+      // released HERE — returning the lazy fold would pin the cached blocks
+      // until the caller's next checkpoint, a block-manager leak over a
+      // long crawl. Retire is a rare, batch-sized operation; one eager job
+      // on a tiny table is the right trade.
+      merged.localCheckpoint(true)
+    } finally keyed.unpersist()
   }
 
   /** Collect a (shardId, bits, …) shard table into a dense array indexed

@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -67,8 +67,16 @@ object VectorKernels {
   }
 }
 
-/** `vec_dot(a, b)` — float-vector dot product in double. */
-case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+/** `vec_dot(a, b)` — float-vector dot product in double.
+  *
+  * ImplicitCastInputTypes: the kernel reads floats via `ArrayData.getFloat`,
+  * which on an array<double> column would silently read 4 bytes of each
+  * 8-byte slot (garbage numbers, no error) — plain-SQL callers with double
+  * arrays must be coerced at analysis time, never at eval time. */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
@@ -86,7 +94,9 @@ case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpress
 
 /** `lsh_buckets(emb)` with the hyperplane matrix baked in at plan time. */
 case class LshBucketsExpr(child: Expression, planes: Array[Double],
-                          dim: Int, nTables: Int, bits: Int) extends UnaryExpression {
+                          dim: Int, nTables: Int, bits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "lsh_buckets"
@@ -106,7 +116,9 @@ case class LshBucketsExpr(child: Expression, planes: Array[Double],
 
 /** `centroid_sims(emb)` with the centroid matrix baked in at plan time. */
 case class CentroidSimsExpr(child: Expression, cents: Array[Double],
-                            dim: Int, k: Int) extends UnaryExpression {
+                            dim: Int, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "centroid_sims"

@@ -133,6 +133,9 @@ object Codecs {
       // len can make the position advance by zero (len = -8) or cycle
       require(len >= 0, s"negative RIFF chunk length $len")
       if (id == 0x20746d66) { // "fmt "
+        // the fmt fields read at pos+8..pos+23 must FIT the buffer — a
+        // lying chunk length must fail here, not as an out-of-bounds read
+        require(len >= 16 && pos + 24 <= bytes.length, s"truncated fmt chunk (len=$len)")
         require(bb.getShort(pos + 8) == 1, "not PCM")
         channels = bb.getShort(pos + 10).toInt
         sampleRate = bb.getInt(pos + 12)
@@ -143,6 +146,12 @@ object Codecs {
       pos += 8 + len + (len & 1) // chunks pad to even; len ≥ 0 ⇒ advance ≥ 8
     }
     require(sampleRate > 0 && dataOffset > 0 && bps == 16, "missing fmt/data or not 16-bit")
+    require(channels > 0, s"invalid channel count $channels")
+    // a data chunk claiming more samples than the file holds must fail at
+    // decode — otherwise the out-of-bounds read surfaces later, far from
+    // the cause, in wavBandFeatures (mirrors the BMP truncation check)
+    require(dataLen >= 0 && dataOffset.toLong + dataLen <= bytes.length,
+      s"truncated or lying data chunk (dataLen=$dataLen, file=${bytes.length})")
     WavAudio(sampleRate, channels, dataLen.toLong / (2L * channels), bytes, dataOffset)
   }
 

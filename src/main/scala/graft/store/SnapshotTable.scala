@@ -151,7 +151,16 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String,
     m.get("files").elements().asScala.toSeq
 
   /** Read a committed version (default: current). Time travel = pass any
-    * older version. */
+    * older version.
+    *
+    * The bucket layout comes from the MANIFEST of the version being read,
+    * never from this handle's configuration: a version written before
+    * bucketing existed (plain parquet, no bucket suffix in the file names)
+    * must read as plain parquet, and a version written under a different
+    * `stateBuckets` config must register with ITS bucket count — a wrong
+    * CLUSTERED BY registration would report false HashPartitioning to the
+    * planner and silently break the storage-partitioned anti-joins
+    * (already-seen urls slipping through dedup, with no error anywhere). */
   def read(version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion.getOrElse(
       throw new IllegalStateException(s"table $name has no committed version"))
@@ -159,15 +168,18 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String,
     val schema = schemaOf(m)
     val paths = filesOf(m).map(_.get("path").asText())
     if (paths.isEmpty) emptyDf(schema)
-    else bucketKey match {
+    else Option(m.get("bucketKey")).map(_.asText()) match {
       case Some(k) =>
+        val n = m.get("nBuckets").asInt()
         // Bucket-aware read goes through the catalog (bucketing metadata
         // only attaches to catalog tables in Spark); registration is
-        // idempotent and re-created on resume in a fresh session.
+        // idempotent and re-created on resume in a fresh session. The
+        // identifier encodes the version, and a version's layout is
+        // immutable, so manifest-derived registrations never conflict.
         val t = tableIdent(v)
         spark.sql(
           s"""CREATE TABLE IF NOT EXISTS $t (${schema.toDDL}) USING PARQUET
-             |CLUSTERED BY ($k) SORTED BY ($k) INTO $nBuckets BUCKETS
+             |CLUSTERED BY ($k) SORTED BY ($k) INTO $n BUCKETS
              |LOCATION '${tableDir.resolve(s"data/v$v")}'""".stripMargin)
         spark.table(t)
       case None => spark.read.schema(schema).parquet(paths: _*)
