@@ -109,7 +109,7 @@ object CrawlBench {
     while (r < rounds && continue) {
       val t0 = System.nanoTime()
       val out = CrawlRound.run(spark, state, robots, budgets, budget, fetcher, r, cfg)
-      if (out.lineage.popped == 0) continue = false
+      if (out.nPopped == 0) continue = false
       else {
         // Materialize the extracted-pages table — extraction is part of the
         // measured pipeline (plain count() would let Catalyst prune X1/X2) —
@@ -124,10 +124,10 @@ object CrawlBench {
         pages.agg(sum(length(col("itemText"))), sum(size(col("metrics")))).collect()
         state = Await.result(ckptF, Duration.Inf)
         if (sys.env.get("GRAFT_CRAWL_VERBOSE").contains("1")) System.err.println(
-          f"[round] r=$r popped=${out.lineage.popped} " +
+          f"[round] r=$r popped=${out.nPopped} " +
             f"extract+ckpt(overlapped)=${(System.nanoTime() - tx) / 1e9}%.2fs " +
             f"total=${(System.nanoTime() - t0) / 1e9}%.2fs")
-        times += RoundTime(r, out.lineage.popped, (System.nanoTime() - t0) / 1e9)
+        times += RoundTime(r, out.nPopped, (System.nanoTime() - t0) / 1e9)
         pages.unpersist()
         out.unpersistCached()
       }

@@ -58,9 +58,20 @@ object CrawlRound {
     * `unpersistCached()` — releasing them earlier re-runs the round's
     * windows and fetch on every downstream use.
     *
+    * `nPopped` is known from the round's one eager job (the fetch wave) —
+    * termination checks use it WITHOUT forcing lineage.
+    *
     * `lineage` is the round-total row (partitionId = -1); `partLineage`
-    * carries one row per physical partition id with ALL counters. The
-    * stages partition independently, so partition p's popped/fetched
+    * carries one row per physical partition id with ALL counters. Forcing
+    * either runs the round's single DEFERRED counting job (memoized) over
+    * the persisted intermediates — so callers that consume lineage (the
+    * durable commit, specs) pay one fused job, callers that only crawl
+    * (the bench loop) pay none, and either way the raw/enqueued counts
+    * never add serial driver waves between the fetch and the commit.
+    * Force lineage BEFORE unpersistCached(), or the fused job recomputes
+    * the round.
+    *
+    * The stages partition independently, so partition p's popped/fetched
     * (fetch-stage partitions) and rawCandidates/enqueued (expand/dedup
     * stage partitions) describe different row sets that happen to share an
     * id — per-partition dedupDropped = rawCandidates − enqueued is the
@@ -70,9 +81,12 @@ object CrawlRound {
       pages: DataFrame,
       popped: DataFrame,
       state: State,
-      lineage: RoundLineage,
-      partLineage: Seq[RoundLineage],
-      cached: Seq[DataFrame]) {
+      nPopped: Long,
+      cached: Seq[DataFrame],
+      private val mkLineage: () => (RoundLineage, Seq[RoundLineage])) {
+    private lazy val lineageAll: (RoundLineage, Seq[RoundLineage]) = mkLineage()
+    def lineage: RoundLineage = lineageAll._1
+    def partLineage: Seq[RoundLineage] = lineageAll._2
     def unpersistCached(): Unit = cached.foreach(_.unpersist())
   }
 
@@ -219,17 +233,16 @@ object CrawlRound {
 
     // Frontier expansion with dedup-before-shuffle. The committed-shard
     // collects launched at round start have been running alongside the
-    // whole fetch wave by now.
+    // whole fetch wave by now. NO count job here: the expansion
+    // materializes inside whichever downstream action runs first (the
+    // caller's state checkpoint / commits), and its per-partition counts
+    // ride the single deferred lineage job — a serial expand-count wave
+    // was pure per-round driver fixed cost (the Amdahl fraction the
+    // scaling bench exposes).
     // failedSize after this round's failures (arithmetic; -1 stays unknown).
     val failedSize2 =
       if (state.failedSize >= 0) state.failedSize + nFailed else -1L
     val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    val rawParts = timed("expand") {
-      rawCandidates.groupBy(spark_partition_id().as("pid"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    }
-    val nRaw = rawParts.map(_._2).sum
     val allowed = Robots.filterAllowed(rawCandidates, robots)
     // Anti vs the CHECKPOINTED input frontier, not `remaining`: frontier =
     // remaining ∪ popped and popped ⊆ seen (already excluded by filterNew),
@@ -269,12 +282,17 @@ object CrawlRound {
       .withColumn("round", lit(round + 1))
       .select("url", "urlHash", "host", "priority", "depth", "round")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val enqParts = timed("dedup") {
-      newEntries.groupBy(spark_partition_id().as("pid"))
-        .agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    }
-    val nEnqueued = enqParts.map(_._2).sum
+    // Only a CAPPED frontier needs nEnqueued on the driver before the
+    // commit (the compaction branch below shapes the frontier plan from
+    // it); the uncapped path defers the dedup count into the fused lineage
+    // job like the expand count.
+    val enqPartsEager: Option[Seq[(Int, Long)]] =
+      if (cfg.frontierCap.isEmpty) None
+      else Some(timed("dedup") {
+        newEntries.groupBy(spark_partition_id().as("pid"))
+          .agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      })
 
     val frontier2 = remaining.unionByName(newEntries)
 
@@ -304,6 +322,7 @@ object CrawlRound {
             case None => (frontier2, None, -1L, -1L, 0L, 0L)
           }
         case Some(cap) =>
+          val nEnqueued = enqPartsEager.get.map(_._2).sum
           val fSize =
             if (state.frontierSize >= 0) state.frontierSize - nPopped + nEnqueued
             else frontier2.count() // first capped round only
@@ -327,33 +346,58 @@ object CrawlRound {
           }
       }
 
-    val lineage = RoundLineage(
-      round = round, partitionId = -1,
-      popped = nPopped, fetched = nFetched,
-      extracted = nFetched, // every 200 page yields an extraction (spec'd noMatch="" otherwise)
-      rawCandidates = nRaw, enqueued = nEnqueued,
-      dedupDropped = nRaw - nEnqueued,
-      evicted = nEvicted, readmitted = nReadmitted)
-
-    // Per-partition rows: merge the three per-stage maps on partition id.
-    val fetchMap = fetchParts.map(t => t._1 -> (t._2, t._3)).toMap
-    val rawMap = rawParts.toMap
-    val enqMap = enqParts.toMap
-    val partLineage = (fetchMap.keySet ++ rawMap.keySet ++ enqMap.keySet)
-      .toSeq.sorted.map { p =>
-        val (po, fe) = fetchMap.getOrElse(p, (0L, 0L))
-        val ra = rawMap.getOrElse(p, 0L)
-        val en = enqMap.getOrElse(p, 0L)
-        RoundLineage(round = round, partitionId = p,
-          popped = po, fetched = fe, extracted = fe,
-          rawCandidates = ra, enqueued = en, dedupDropped = ra - en)
+    // The deferred lineage job: ONE action computing every per-partition
+    // counter not already known from the fetch wave (expand counts, and —
+    // uncapped — dedup counts), as a union of narrow aggregates over the
+    // round's persisted intermediates. Memoized by Output; consumers force
+    // it concurrently with the commit wave, so it adds no serial driver
+    // wave to the round.
+    val mkLineage: () => (RoundLineage, Seq[RoundLineage]) = () => timed("lineage") {
+      val pid = spark_partition_id().as("pid")
+      val rawAgg = rawCandidates.groupBy(pid).agg(count(lit(1)).as("n"))
+        .select(lit(0).as("src"), col("pid"), col("n"))
+      val plan = enqPartsEager match {
+        case Some(_) => rawAgg
+        case None => rawAgg.unionByName(
+          newEntries.groupBy(pid).agg(count(lit(1)).as("n"))
+            .select(lit(1).as("src"), col("pid"), col("n")))
       }
+      val rows = plan.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      val rawParts = rows.filter(_._1 == 0).map(t => (t._2, t._3)).toSeq
+      val enqParts = enqPartsEager.getOrElse(
+        rows.filter(_._1 == 1).map(t => (t._2, t._3)).toSeq)
+      val nRaw = rawParts.map(_._2).sum
+      val nEnqueued = enqParts.map(_._2).sum
 
-    rawCandidates.unpersist()
+      val total = RoundLineage(
+        round = round, partitionId = -1,
+        popped = nPopped, fetched = nFetched,
+        extracted = nFetched, // every 200 page yields an extraction (spec'd noMatch="" otherwise)
+        rawCandidates = nRaw, enqueued = nEnqueued,
+        dedupDropped = nRaw - nEnqueued,
+        evicted = nEvicted, readmitted = nReadmitted)
+
+      // Per-partition rows: merge the three per-stage maps on partition id.
+      val fetchMap = fetchParts.map(t => t._1 -> (t._2, t._3)).toMap
+      val rawMap = rawParts.toMap
+      val enqMap = enqParts.toMap
+      val parts = (fetchMap.keySet ++ rawMap.keySet ++ enqMap.keySet)
+        .toSeq.sorted.map { p =>
+          val (po, fe) = fetchMap.getOrElse(p, (0L, 0L))
+          val ra = rawMap.getOrElse(p, 0L)
+          val en = enqMap.getOrElse(p, 0L)
+          RoundLineage(round = round, partitionId = p,
+            popped = po, fetched = fe, extracted = fe,
+            rawCandidates = ra, enqueued = en, dedupDropped = ra - en)
+        }
+      (total, parts)
+    }
+
     Output(pages, popped,
       State(frontier3, seenExact2, bloomShards2, failed2, cuckooShards2,
         spilled2, frontierSize2, spilledSize2, failedSize2),
-      lineage, partLineage,
-      cached = Seq(popped, remaining, fetched, newEntries))
+      nPopped = nPopped,
+      cached = Seq(popped, remaining, fetched, rawCandidates, newEntries),
+      mkLineage = mkLineage)
   }
 }

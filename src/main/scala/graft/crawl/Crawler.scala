@@ -141,16 +141,27 @@ object Crawler {
     while (r < nRounds && continue) {
       val out = CrawlRound.run(spark, state, robots, budgets, defaultBudget,
         fetcher, r, cfg)
-      if (out.lineage.popped == 0) {
+      if (out.nPopped == 0) {
         continue = false // frontier drained
       } else {
-        pagesAcc += out.pages.localCheckpoint(true)
-        popAcc += out.popped
+        // One concurrent wave: pages/pop checkpoints, the state
+        // checkpoints (internally concurrent), and the round's single
+        // deferred lineage job — all independent actions over the round's
+        // persisted intermediates. Serializing them would re-add the
+        // per-round driver fixed cost the scaling bench exposes.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val lineageF = Future(out.lineage)
+        val pagesF = Future(out.pages.localCheckpoint(true))
+        val popF = Future(out.popped
           .select(lit(r).as("popRound"), col("host"), col("popRank"),
             col("url"), col("urlHash"), col("priority"), col("depth"))
-          .localCheckpoint(true)
-        lineages += out.lineage
+          .localCheckpoint(true))
         state = Crawler.checkpointState(out.state, Some(state))
+        pagesAcc += Await.result(pagesF, Duration.Inf)
+        popAcc += Await.result(popF, Duration.Inf)
+        lineages += Await.result(lineageF, Duration.Inf)
         out.unpersistCached()
       }
       r += 1

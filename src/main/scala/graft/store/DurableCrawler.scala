@@ -135,9 +135,11 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   }
 
   /** Lineage table rows: partitionId = -1 is the round total; every
-    * partitionId ≥ 0 row carries ALL counters for that physical partition
-    * (collected inside the round's own counting jobs — no extra job here;
-    * see CrawlRound.Output.partLineage for the per-stage semantics). */
+    * partitionId ≥ 0 row carries ALL counters for that physical partition.
+    * Forcing out.lineage here runs the round's single deferred counting
+    * job (CrawlRound.Output scaladoc) — this is called inside the commit
+    * wave's lineage future, so the count rides CONCURRENTLY with the
+    * table commits instead of as its own serial driver wave. */
   private def lineageDf(out: CrawlRound.Output, r: Int): DataFrame = {
     import spark.implicits._
     (out.lineage +: out.partLineage).toDF()
@@ -163,7 +165,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       val state = stateAt(r - 1)
       val res = CrawlRound.run(spark, state, robots, budgets, defaultBudget,
         fetcher, r, cfg)
-      if (res.lineage.popped == 0) { continue = false }
+      if (res.nPopped == 0) { continue = false }
       else {
         // The seven table commits are independent single-writer snapshots —
         // run them concurrently (serial parquet-write latencies never
