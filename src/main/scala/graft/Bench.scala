@@ -30,6 +30,14 @@ object Bench {
     try spark.range(100000).selectExpr("sum(id) s", "count(*) c")
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // ...and the PARQUET path: the registry's first query otherwise books
+    // the session's one-time costs (cold page cache on the data files,
+    // first parquet-reader codegen, Hadoop conf init) onto its own time —
+    // r3's recorded scan_parquet read 3.2 s cold vs ~0.6 s steady-state.
+    // One untimed pass of the first registry query absorbs all of it.
+    try SparkEntry.registry.headOption.foreach(
+      _.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+    catch { case _: Throwable => () }
     // Per-query outcome is recorded honestly: a failed query must never
     // read as a (suspiciously fast) passing one. Failures keep their wall
     // time in `queries` but are listed in `errors` and excluded from

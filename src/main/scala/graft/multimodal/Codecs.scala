@@ -179,6 +179,92 @@ object Codecs {
     out
   }
 
+  // ------------------------------------------------- PNG / JPEG (ImageIO)
+  // Compressed-image codecs via javax.imageio — pure JDK, works offline.
+  // PNG is lossless: decoded pixels equal the generation formula exactly
+  // (pinned in MultimodalSpec). JPEG is lossy: geometry and channel count
+  // decode exactly, pixel values approximately.
+
+  // keep ImageIO entirely in-memory: the default disk cache writes temp
+  // files per decode — pure overhead for per-row byte-array payloads
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic RGB image; pixel (x,y) uses the SAME channel formula as
+    * [[makeBmp]] (r,g,b = bytes 2,1,0 of mix(seed,x,y)). */
+  private def renderImage(width: Int, height: Int, seed: Long): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val h = mix(seed ^ (x.toLong << 32) ^ y.toLong)
+        img.setRGB(x, y,
+          (((h >>> 16) & 0xff) << 16 | ((h >>> 8) & 0xff) << 8 | (h & 0xff)).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(width: Int, height: Int, seed: Long, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ok = javax.imageio.ImageIO.write(renderImage(width, height, seed), fmt, out)
+    require(ok, s"no ImageIO writer for $fmt")
+    out.toByteArray
+  }
+
+  def makePng(width: Int, height: Int, seed: Long): Array[Byte] =
+    encodeImage(width, height, seed, "png")
+
+  def makeJpeg(width: Int, height: Int, seed: Long): Array[Byte] =
+    encodeImage(width, height, seed, "jpg")
+
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** Decode a compressed image through ImageIO. Throws on undecodable
+    * bytes (ImageIO.read returns null) — callers dispatch + fall back. */
+  def decodeImageIo(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "ImageIO could not decode payload")
+    img
+  }
+
+  /** The BMP band feature computed over an ImageIO-decoded image: mean
+    * (r+g+b)/3 per horizontal band, normalized to [-1, 1] — identical math
+    * to [[bmpBandFeatures]], so the SAME scene encodes to the same feature
+    * through BMP and PNG (lossless) paths. */
+  def imageBandFeatures(img: java.awt.image.BufferedImage, bands: Int): Array[Float] = {
+    val out = new Array[Float](bands)
+    val counts = new Array[Long](bands)
+    val sums = new Array[Long](bands)
+    var y = 0
+    while (y < img.getHeight) {
+      val band = if (img.getHeight <= 1) 0 else y * bands / img.getHeight
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sums(band) += ((rgb >>> 16) & 0xff) + ((rgb >>> 8) & 0xff) + (rgb & 0xff)
+        counts(band) += 3
+        x += 1
+      }
+      y += 1
+    }
+    var b = 0
+    while (b < bands) {
+      out(b) = if (counts(b) == 0) 0f
+      else (sums(b).toDouble / counts(b) / 127.5 - 1.0).toFloat
+      b += 1
+    }
+    out
+  }
+
   private def mix(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
@@ -187,15 +273,17 @@ object Codecs {
   }
 }
 
-/** MediaDecoder backed by the pure-JVM codecs: dispatches on magic bytes
-  * (BM → BMP image, RIFF → WAV audio); anything else — e.g. video, which
-  * has no pure-JVM container format here — falls back to the supplied
-  * decoder (StubDecoder by default, still clearly marked as fake).
+/** MediaDecoder backed by real codecs: dispatches on magic bytes
+  * (BM → BMP via the pure-JVM parser, ‰PNG / ÿØÿ JPEG → javax.imageio,
+  * RIFF → WAV audio); anything else — e.g. video, which has no pure-JDK
+  * container decoder — falls back to the supplied decoder (StubDecoder by
+  * default, still clearly marked as fake).
   *
   * Robust per row: real-web payloads lie — a 'BM' prefix can front a
-  * compressed/32bpp BMP or a truncated file, 'RIFF' can be an AVI. Any
-  * decode failure (require or buffer underflow) falls back for THAT row
-  * instead of failing the whole batch/stage. */
+  * compressed/32bpp BMP or a truncated file, 'RIFF' can be an AVI, a PNG
+  * can be truncated mid-IDAT. Any decode failure (require, buffer
+  * underflow, ImageIO null/IIOException) falls back for THAT row instead
+  * of failing the whole batch/stage. */
 class JvmCodecDecoder(embeddingDim: Int = 8,
                       fallback: Multimodal.MediaDecoder = new Multimodal.StubDecoder())
     extends Multimodal.MediaDecoder {
@@ -212,6 +300,13 @@ class JvmCodecDecoder(embeddingDim: Int = 8,
             width = img.width, height = img.height, channels = img.channels,
             sample_rate = -1, n_frames = -1L, frame_offsets = Seq.empty,
             embedding = Codecs.bmpBandFeatures(img, embeddingDim).toSeq)
+        } else if (Codecs.isPng(b) || Codecs.isJpeg(b)) {
+          val img = Codecs.decodeImageIo(b)
+          MediaFeatures(r.doc_id, r.kind, b.length,
+            width = img.getWidth, height = img.getHeight,
+            channels = img.getColorModel.getNumComponents,
+            sample_rate = -1, n_frames = -1L, frame_offsets = Seq.empty,
+            embedding = Codecs.imageBandFeatures(img, embeddingDim).toSeq)
         } else if (b != null && b.length >= 4 &&
             b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') {
           val a = Codecs.decodeWav(b)

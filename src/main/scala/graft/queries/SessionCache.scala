@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo for persisted intermediates shared across queries.
@@ -13,21 +14,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * persisted DataFrame per (session, dir, key): repeat invocations — and
   * sibling queries sharing an intermediate, e.g. the ANN recall audits
   * reusing the brute-force baseline and the LSH hash relation — get the
-  * already-cached plan. Blocks are MEMORY_AND_DISK and evictable; they are
-  * freed with the session.
+  * already-cached plan. Blocks are MEMORY_AND_DISK and evictable.
+  *
+  * Lifecycle: the first insertion for a session registers an
+  * ApplicationEnd listener on its SparkContext that drops that session's
+  * entries — without it the map rows (and the plan graphs they pin) would
+  * outlive the session in a multi-session JVM. The listener body is
+  * [[invalidate]], also callable directly (SessionCacheSpec drives it).
   */
 object SessionCache {
 
   private val cache = new ConcurrentHashMap[(String, String), DataFrame]()
+  private val hooked = ConcurrentHashMap.newKeySet[String]()
 
   /** Memoized `build.persist()` for this session — `key` must encode every
     * input that changes the result (the data dir, parameters). Keyed by
     * the session's UUID (unique — an identityHashCode key could collide
     * with a stopped session's and hand out a plan bound to a dead
-    * SparkContext). Entries for stopped sessions are inert map rows; the
-    * harness runs one session per JVM, so growth is bounded. */
-  def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((sessionKey(s), key), _ => build.persist())
+    * SparkContext). */
+  def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val sk = sessionKey(s)
+    if (hooked.add(sk)) {
+      s.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          invalidateKey(sk)
+      })
+    }
+    cache.computeIfAbsent((sk, key), _ => build.persist())
+  }
+
+  /** Unpersist and drop every entry of `s` — the ApplicationEnd listener's
+    * body. Safe to call on a live session: later df() calls rebuild. */
+  def invalidate(s: SparkSession): Unit = invalidateKey(sessionKey(s))
+
+  private def invalidateKey(sk: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    cache.keySet.asScala.filter(_._1 == sk).toSeq.foreach { k =>
+      Option(cache.remove(k)).foreach { d =>
+        // blocking=false, and a stopped context just no-ops
+        try d.unpersist(false) catch { case _: Throwable => () }
+      }
+    }
+    hooked.remove(sk)
+  }
+
+  /** Entries currently cached for `s` (spec instrumentation). */
+  def sizeFor(s: SparkSession): Int = {
+    import scala.jdk.CollectionConverters._
+    val sk = sessionKey(s)
+    cache.keySet.asScala.count(_._1 == sk)
+  }
 
   /** Unique per-session id. Spark 4 exposes sessionUUID on the classic
     * implementation only (via GraftSqlBridge); identityHashCode is the

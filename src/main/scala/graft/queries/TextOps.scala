@@ -156,6 +156,45 @@ object TextOps {
     * computation with the same threshold. */
   private val JACCARD_TAU = 0.5
 
+  /** Exact near-dup pairs (J ≥ tau) via the prefix-filtered inverted
+    * index — the body of dedup_ngram_jaccard, memoized per (dir, tau):
+    * consumed by that query AND as the exact ground truth of the minhash
+    * audit (dedup_minhash_audit), so the expensive index build runs once
+    * per session. Returns (id_a, id_b, jaccard), unrounded. */
+  private def ngramJaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame =
+    SessionCache.df(s, s"jaccard_pairs:$tau:$d") {
+      import org.apache.spark.sql.expressions.Window
+      val sh = SessionCache.df(s, s"jaccard_grams:$d") {
+        documents(s, d)
+          .select(col("doc_id"),
+            graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
+          .filter(size(col("grams")) > 0)
+      }
+      val exploded = sh.select(
+        col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
+      val withDf = exploded.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("gram")))
+      val prefix = withDf
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+        .filter(col("pos") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
+        .select("doc_id", "n", "gram")
+      val cand = prefix.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("gram"))
+        .join(prefix.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("gram")),
+          Seq("gram"))
+        .filter(col("id_a") < col("id_b") &&
+          col("n_b") >= col("n_a") * tau && col("n_a") >= col("n_b") * tau)
+        .select("id_a", "id_b").distinct()
+      val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          inter / (size(col("grams_a")) + size(col("grams_b")) - inter))
+        .filter(col("jaccard") >= tau)
+        .select("id_a", "id_b", "jaccard")
+    }
+
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
     s"""WITH sh AS (
@@ -175,7 +214,6 @@ object TextOps {
       |SELECT id_a, id_b, round(inter / (tot - inter), 4) AS jaccard
       |FROM p WHERE inter / (tot - inter) >= $JACCARD_TAU
       |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     // Shingles live as their 64-bit hashes from the first pass (the
     // word_shingles64 codegen expression — see graft.expr.Shingles for why
     // the composable form is quadratic): every downstream step (inverted
@@ -183,43 +221,10 @@ object TextOps {
     // fixed-width longs instead of ~25-byte strings. Same Jaccard (a
     // distinct-set measure; a 64-bit collision INSIDE one pair would be
     // needed to move it, P ≈ |grams|²/2^64), pinned equal to the
-    // string-space brute force by NgramJaccardSpec. Memoized per session
-    // (SessionCache — one persisted copy, not one per invocation):
-    // consumed three times (inverted index + both sides of the
-    // exact-verify join).
-    val sh = SessionCache.df(s, s"jaccard_grams:$d") {
-      documents(s, d)
-        .select(col("doc_id"),
-          graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
-        .filter(size(col("grams")) > 0)
-    }
-    val exploded = sh.select(
-      col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
-    // Global rarity order: df per shingle, then (df, gram) as the canonical
-    // total order every document sorts by.
-    val withDf = exploded.withColumn("df",
-      count(lit(1)).over(Window.partitionBy("gram")))
-    val prefix = withDf
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
-      .filter(col("pos") <= col("n") - ceil(col("n") * JACCARD_TAU).cast("int") + 1)
-      .select("doc_id", "n", "gram")
-    // Length filter (also exact): J ≥ τ forces τ·max(|A|,|B|) ≤ min(|A|,|B|).
-    val cand = prefix.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("gram"))
-      .join(prefix.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("gram")),
-        Seq("gram"))
-      .filter(col("id_a") < col("id_b") &&
-        col("n_b") >= col("n_a") * JACCARD_TAU && col("n_a") >= col("n_b") * JACCARD_TAU)
-      .select("id_a", "id_b").distinct()
-    // Exact verification on candidates only — the gram-hash arrays are
-    // joined back for the surviving pairs, never exploded pairwise.
-    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
-    cand
-      .join(sh.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        inter / (size(col("grams_a")) + size(col("grams_b")) - inter))
-      .filter(col("jaccard") >= JACCARD_TAU)
+    // string-space brute force by NgramJaccardSpec. Pair generation is
+    // memoized (ngramJaccardPairs) — the minhash audit reuses it as the
+    // exact ground truth.
+    ngramJaccardPairs(s, d, JACCARD_TAU)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
@@ -253,10 +258,10 @@ object TextOps {
         .filter(col("bucket_n") <= cap).drop("bucket_n"),
       keyCols, "left_semi")
 
-  /** MinHash + LSH near-dup candidates: shingle → K minhashes → band keys →
-    * equi-join on (band, key) → estimated Jaccard from signature agreement.
-    * Engine-specific hashing → rows-only check. */
-  private val dedupMinhash = Q.noOracle("dedup_minhash") { (s, d) =>
+  /** MinHash + LSH reported pairs (before presentation order/limit) — the
+    * body of dedup_minhash, factored so the precision/recall audit
+    * measures EXACTLY what the query reports. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val rowsPerBand = MINHASH_K / LSH_BANDS
     // The narrow (doc_id, sig) table is consumed twice downstream (cap
     // count + pair join); memoized per session (SessionCache) so the
@@ -291,8 +296,49 @@ object TextOps {
           b => b)).cast("double") / MINHASH_K).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= 0.25)
-      .orderBy("id_a", "id_b")
-      .limit(1000)
+  }
+
+  /** MinHash + LSH near-dup candidates: shingle → K minhashes → band keys →
+    * equi-join on (band, key) → estimated Jaccard from signature agreement.
+    * Engine-specific hashing → rows-only check; the banding math is pinned
+    * by dedup_minhash_audit + NearDupAuditSpec. */
+  private val dedupMinhash = Q.noOracle("dedup_minhash") { (s, d) =>
+    minhashPairs(s, d).orderBy("id_a", "id_b").limit(1000)
+  }
+
+  /** Precision/recall audit of the MinHash-LSH pipeline against EXACT
+    * ground truth (same rigor as the ANN recall audits): recall = fraction
+    * of true J ≥ τ pairs (from the prefix-filtered exact index — proven ≡
+    * brute force by NgramJaccardSpec) that dedup_minhash reports;
+    * precision = fraction of reported pairs whose EXACT Jaccard clears the
+    * query's own 0.25 estimate threshold (computed per candidate pair —
+    * never all-pairs). Deterministic counts; floors pinned in
+    * NearDupAuditSpec. */
+  private val dedupMinhashAudit = Q.noOracle("dedup_minhash_audit") { (s, d) =>
+    val truth = ngramJaccardPairs(s, d, JACCARD_TAU).select("id_a", "id_b")
+    val reported = minhashPairs(s, d).select("id_a", "id_b")
+    val sh = SessionCache.df(s, s"jaccard_grams:$d") {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0)
+    }
+    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
+    val exactOfReported = reported
+      .join(sh.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("grams").as("grams_b")), Seq("id_b"))
+      .withColumn("true_j",
+        inter / (size(col("grams_a")) + size(col("grams_b")) - inter))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nRep = reported.agg(count(lit(1)).as("n_reported"))
+    val nRec = truth.join(reported, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_recalled"))
+    val nPrec = exactOfReported.filter(col("true_j") >= 0.25)
+      .agg(count(lit(1)).as("n_precise"))
+    nTrue.crossJoin(nRep).crossJoin(nRec).crossJoin(nPrec)
+      .select(col("n_true"), col("n_reported"), col("n_recalled"), col("n_precise"),
+        round(col("n_recalled") / col("n_true"), 4).as("recall"),
+        round(col("n_precise") / col("n_reported"), 4).as("precision"))
   }
 
   /** Cross-engine MinHash SIGNATURE PARITY: md5 is the one hash both
@@ -337,15 +383,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** 64-bit SimHash from token hashes (majority vote per bit), banded into
-    * 4×16-bit chunks for candidate generation (pigeonhole-complete for
-    * hamming ≤ 3), verified with bit_count(XOR). Bitwise-only arithmetic
-    * (ANSI-safe). The bit loop needs column-valued shift amounts, which the
-    * Scala functions API doesn't expose → SQL higher-order expression. */
-  private val dedupSimhash = Q.noOracle("dedup_simhash") { (s, d) =>
-    val sh = documents(s, d)
-      .select(col("doc_id"),
-        graft.expr.SimHash64.simhash64(col("text")).as("simhash"))
+  /** The (doc_id, simhash) relation — memoized: consumed by the query's
+    * band join and by the audit's brute-force ground truth. */
+  private def simhashTable(s: SparkSession, d: String): DataFrame =
+    SessionCache.df(s, s"simhash:$d") {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.expr.SimHash64.simhash64(col("text")).as("simhash"))
+    }
+
+  /** SimHash banded reported pairs (before presentation order/limit). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhashTable(s, d)
     val banded = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
@@ -361,8 +410,43 @@ object TextOps {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
-      .orderBy("id_a", "id_b")
-      .limit(1000)
+  }
+
+  /** 64-bit SimHash from token hashes (majority vote per bit), banded into
+    * 4×16-bit chunks for candidate generation (pigeonhole-complete for
+    * hamming ≤ 3), verified with bit_count(XOR). Bitwise-only arithmetic
+    * (ANSI-safe). The bit loop needs column-valued shift amounts, which the
+    * Scala functions API doesn't expose → SQL higher-order expression. */
+  private val dedupSimhash = Q.noOracle("dedup_simhash") { (s, d) =>
+    simhashPairs(s, d).orderBy("id_a", "id_b").limit(1000)
+  }
+
+  /** Completeness audit of the banded SimHash pipeline against BRUTE-FORCE
+    * ground truth (all-pairs XOR popcount — an audit-scale tool, documented
+    * as such, like the brute-force ANN baseline): the 4×16-bit banding is
+    * pigeonhole-complete for hamming ≤ 3, so recall must be exactly 1.0
+    * unless the mega-bucket cap dropped members — the audit row makes any
+    * cap loss visible, and precision is 1.0 by construction (every
+    * reported pair re-verified with the exact XOR). Floors pinned in
+    * NearDupAuditSpec. */
+  private val dedupSimhashAudit = Q.noOracle("dedup_simhash_audit") { (s, d) =>
+    val sh = simhashTable(s, d)
+    val truth = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
+      .filter(col("id_a") < col("id_b") &&
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select("id_a", "id_b")
+    val reported = simhashPairs(s, d)
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val nRep = reported.agg(count(lit(1)).as("n_reported"))
+    val nRec = truth.join(reported.select("id_a", "id_b"),
+      Seq("id_a", "id_b"), "left_semi").agg(count(lit(1)).as("n_recalled"))
+    val nPrec = reported.filter(col("hamming") <= 3)
+      .agg(count(lit(1)).as("n_precise"))
+    nTrue.crossJoin(nRep).crossJoin(nRec).crossJoin(nPrec)
+      .select(col("n_true"), col("n_reported"), col("n_recalled"), col("n_precise"),
+        round(col("n_recalled") / col("n_true"), 4).as("recall"),
+        round(col("n_precise") / col("n_reported"), 4).as("precision"))
   }
 
   // -------------------------------------------------- extraction (X1/X2)
@@ -557,9 +641,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** COMPRESSED-image decode with an exact cross-engine oracle: payloads
+    * are real PNG (even doc_id) / JPEG (odd doc_id) files encoded via
+    * javax.imageio from dimensions that are pure functions of doc_id, the
+    * decoder parses the actual compressed bytes back (ImageIO — real
+    * inflate/DCT, not the stub), and DuckDB recomputes the expected
+    * geometry from the generation formulas. Pixel-level exactness for the
+    * lossless PNG path is pinned separately in MultimodalSpec (DuckDB
+    * can't run the pixel mix function). */
+  private val multimodalDecodeImg = Q(
+    "multimodal_decode_img",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,
+      |  CAST(16 + doc_id % 32 AS INT) AS width,
+      |  CAST(8 + doc_id % 16 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Codecs, JvmCodecDecoder, Multimodal}
+    val media = documents(s, d).select(col("doc_id").cast("long")).as[Long].map { id =>
+      val (w, h) = ((16 + id % 32).toInt, (8 + id % 16).toInt)
+      if (id % 2 == 0) Multimodal.MediaRow(id, "png", Codecs.makePng(w, h, seed = id))
+      else Multimodal.MediaRow(id, "jpeg", Codecs.makeJpeg(w, h, seed = id))
+    }
+    Multimodal.decode(media, new JvmCodecDecoder())
+      .toDF()
+      .select(col("doc_id"), col("kind").as("codec"), col("width"),
+        col("height"), col("channels"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint,
     dedupExact, dedupNgramJaccard, dedupMinhash, minhashSignature, dedupSimhash,
+    dedupMinhashAudit, dedupSimhashAudit,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
-    multimodalDecode, multimodalDecodeReal)
+    multimodalDecode, multimodalDecodeReal, multimodalDecodeImg)
 }

@@ -17,4 +17,15 @@ object GraftSqlBridge {
     case c: classic.SparkSession => Some(c.sessionUUID)
     case _ => None
   }
+
+  /** Test hook: deliver ApplicationEnd to registered listeners WITHOUT
+    * stopping the shared context (the listener bus is private[spark]).
+    * SessionCacheSpec drives the session-end cleanup path through this —
+    * actually stopping the one test SparkContext would kill every other
+    * suite in the JVM. */
+  def fireApplicationEnd(s: SparkSession): Unit = {
+    s.sparkContext.listenerBus.post(
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(System.currentTimeMillis()))
+    s.sparkContext.listenerBus.waitUntilEmpty()
+  }
 }

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Precision/recall floors for the approximate near-dup pipelines, pinned
+  * against exact ground truth — the same rigor the ANN path gets from
+  * AnnRecallSpec. A banding-math or hash-family regression (wrong band
+  * slicing, broken minhash fold, capped buckets eating true pairs) fails
+  * here, not in production. */
+class NearDupAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def auditRow(name: String, dir: String): Map[String, Any] = {
+    val row = SparkEntry.registry.find(_.name == name).get.run(spark, dir).head()
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"minhash audit floors at $dir") {
+      val m = auditRow("dedup_minhash_audit", dir)
+      val (nTrue, recall, precision) =
+        (m("n_true").asInstanceOf[Long], m("recall").asInstanceOf[Double],
+          m("precision").asInstanceOf[Double])
+      info(s"minhash $dir: $m")
+      assert(nTrue > 0, "no true near-dup pairs — audit is vacuous")
+      assert(recall >= 0.6, s"minhash recall $recall below floor (audit: $m)")
+      assert(precision >= 0.8, s"minhash precision $precision below floor (audit: $m)")
+    }
+
+    test(s"simhash audit: banding is pigeonhole-complete at $dir") {
+      val m = auditRow("dedup_simhash_audit", dir)
+      info(s"simhash $dir: $m")
+      assert(m("n_true").asInstanceOf[Long] > 0, "no hamming<=3 pairs — vacuous")
+      // 4x16-bit banding provably catches every hamming<=3 pair; only the
+      // mega-bucket cap may drop members, and it must not at these scales
+      assert(m("recall").asInstanceOf[Double] == 1.0, s"audit: $m")
+      assert(m("precision").asInstanceOf[Double] == 1.0, s"audit: $m")
+    }
+  }
+}

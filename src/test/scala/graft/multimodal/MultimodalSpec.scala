@@ -98,6 +98,59 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG round-trip: ImageIO decode recovers geometry and EXACT pixels (lossless)") {
+    for ((w, h, seed) <- Seq((16, 8, 1L), (33, 17, 99L), (1, 1, 5L))) {
+      val bytes = Codecs.makePng(w, h, seed)
+      assert(Codecs.isPng(bytes) && !Codecs.isJpeg(bytes))
+      val img = Codecs.decodeImageIo(bytes)
+      assert(img.getWidth == w && img.getHeight == h
+        && img.getColorModel.getNumComponents == 3)
+      // PNG is lossless: every decoded pixel equals the same (seed,x,y)
+      // formula the BMP encoder writes. makeBmp keys the formula by STORED
+      // row (the file is bottom-up, so stored row y is display row h-1-y);
+      // makePng keys it by display row — the formula-y aligns directly.
+      val bmp = Codecs.decodeBmp(Codecs.makeBmp(w, h, seed))
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val base = bmp.dataOffset + y * bmp.rowSize + x * 3
+        assert((rgb & 0xff) == (bmp.pixels(base) & 0xff) &&
+          ((rgb >>> 8) & 0xff) == (bmp.pixels(base + 1) & 0xff) &&
+          ((rgb >>> 16) & 0xff) == (bmp.pixels(base + 2) & 0xff),
+          s"pixel ($x,$y) mismatch at seed $seed")
+      }
+      // ...and therefore identical band features through either path
+      assert(Codecs.imageBandFeatures(img, 8).toSeq ==
+        Codecs.bmpBandFeatures(bmp, 8).toSeq)
+    }
+  }
+
+  test("JPEG decode: real DCT round-trip recovers geometry; pixels approximate") {
+    val (w, h, seed) = (40, 24, 3L)
+    val bytes = Codecs.makeJpeg(w, h, seed)
+    assert(Codecs.isJpeg(bytes) && !Codecs.isPng(bytes))
+    val img = Codecs.decodeImageIo(bytes)
+    assert(img.getWidth == w && img.getHeight == h
+      && img.getColorModel.getNumComponents == 3)
+    // lossy, but the band means of a real decode stay near the source's
+    val f = Codecs.imageBandFeatures(img, 8)
+    val ref = Codecs.bmpBandFeatures(Codecs.decodeBmp(Codecs.makeBmp(w, h, seed)), 8)
+    f.zip(ref).foreach { case (a, b) => assert(math.abs(a - b) < 0.2) }
+  }
+
+  test("PNG/JPEG rows dispatch through ImageIO; truncated PNG falls back per row") {
+    val rows = Seq(
+      MediaRow(1L, "image", Codecs.makePng(20, 10, 1L)),
+      MediaRow(2L, "image", Codecs.makeJpeg(18, 9, 2L)),
+      MediaRow(3L, "image", Codecs.makePng(20, 10, 1L).take(40)), // cut mid-IDAT
+      MediaRow(4L, "image", Codecs.makeBmp(8, 4, 9L))) // BMP still pure-JVM path
+    val out = new JvmCodecDecoder().decodeBatch(rows).sortBy(_.doc_id)
+    assert(out.length == 4)
+    assert(out(0).width == 20 && out(0).height == 10 && out(0).channels == 3)
+    assert(out(1).width == 18 && out(1).height == 9)
+    assert(out(2).width != 20 || out(2).height != 10, "truncated PNG must fall back")
+    assert(out(3).width == 8 && out(3).height == 4)
+  }
+
   test("JvmCodecDecoder dispatches on magic bytes; non-codec payloads hit the fallback") {
     val rows = Seq(
       MediaRow(1L, "image", Codecs.makeBmp(20, 10, 1L)),
