@@ -145,12 +145,17 @@ object CrawlRound {
 
     // X1/X2 — the extraction expressions; `html` never survives this select
     // (column pruning: the widest column dies as early as possible).
+    // `round` is the entry's ENQUEUE round (an entry can wait several
+    // rounds under budget); `fetchRound` is the round that actually
+    // fetched it — the column round-sliced corpus reads prune on
+    // (DurableCrawler.pagesInRounds).
     val pages = fetched
       .filter(col("status") === 200)
       .withColumn("itemText", Extractors.extract_10k(col("text")))
       .withColumn("metrics", Extractors.extract_metrics(col("text")))
-      .select("url", "urlHash", "host", "depth", "round", "popRank",
-        "status", "fetchTs", "lang", "itemText", "metrics")
+      .withColumn("fetchRound", lit(round))
+      .select("url", "urlHash", "host", "depth", "round", "fetchRound",
+        "popRank", "status", "fetchTs", "lang", "itemText", "metrics")
 
     // Seen-set update for the NEXT round's prefilters and the commit.
     // (This round's probe uses the committed tables — see above — and the

@@ -148,6 +148,10 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   /** The committed lineage table of a completed round. */
   def lineageAt(round: Int): DataFrame = lineage.read(entry(round).lineageV)
 
+  /** Committed pages-table version of a round (time-travel handle; the
+    * round-sliced read and its plan tests address versions through it). */
+  def pagesVersionAt(round: Int): Long = entry(round).pagesV
+
   /** Run rounds (lastComplete+1 .. untilRound]. `failBeforeLogAt` injects a
     * crash AFTER the table commits but BEFORE the round-log swap of that
     * round — the kill-resume test's hook. Returns lineages of the rounds
@@ -216,6 +220,26 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
   def allPages(): Option[DataFrame] = lastCompleteRound.filter(_ >= 0).map { last =>
     (0 to last).map(r => pages.read(entry(r).pagesV)).reduce(_ unionByName _)
   }
+
+  /** Pages crawled in rounds [lo, hi] — the round-sliced corpus read a
+    * downstream consumer (e.g. the segmentation aggregation over one
+    * crawl window) uses instead of scanning the archive:
+    *
+    *  1. the round LOG selects only the slice's page versions (the
+    *     snapshot-level prune — other versions are never opened);
+    *  2. each selected version reads through readPruned("fetchRound") —
+    *     the manifest-stats file prune — so even a version whose files
+    *     straddle the slice (a future multi-round compaction of the pages
+    *     table) scans only intersecting files. RoundSliceSpec pins that
+    *     out-of-slice files never reach a scan.
+    *
+    * None when the store has no complete round or the slice is empty. */
+  def pagesInRounds(lo: Int, hi: Int): Option[DataFrame] =
+    lastCompleteRound.filter(_ >= 0).flatMap { last =>
+      val l = math.max(lo, 0); val h = math.min(hi, last)
+      (l to h).map(r => pages.readPruned("fetchRound", lo, hi, entry(r).pagesV))
+        .reduceOption(_ unionByName _)
+    }
 
   def currentState(): CrawlRound.State = stateAt(lastCompleteRound.get)
 }
