@@ -51,7 +51,20 @@ object CrawlRound {
                      * job, no cuckoo probe term, no failed-side anti-joins
                      * — per-round driver actions are the Amdahl fixed cost
                      * that caps scaling efficiency at high parallelism. */
-                   failedSize: Long = -1L)
+                   failedSize: Long = -1L,
+                   /** Rows in `seenExact`, maintained arithmetically (−1 =
+                     * unknown → counted once, then carried). Drives the
+                     * bloom growth guard. */
+                   seenSize: Long = -1L,
+                   /** Keys-per-shard geometry the STANDING bloom shards
+                     * were built for (−1 = cfg.expectedKeysPerShard). The
+                     * guard doubles it when the seen set outgrows it —
+                     * without a rebuild the filter silently saturates
+                     * (fpp → 1) and the prefilter stops rerouting work,
+                     * a pure-performance failure no correctness test can
+                     * catch. Delta shards must build at THIS geometry
+                     * (bloom OR-merge requires identical (m, k)). */
+                   bloomKeysPerShard: Long = -1L)
 
   /** `cached`: intermediates persisted inside run(); the caller MUST
     * materialize (checkpoint/write) `state` and `pages` first, then call
@@ -165,15 +178,42 @@ object CrawlRound {
     // retired for retry (Crawler.retryFailed).
     val okHashes = fetched.filter(col("status") === 200).select("urlHash")
     val seenExact2 = state.seenExact.unionByName(okHashes)
-    val deltaShards = Seen.buildBloomShards(
-      okHashes, cfg.nShards, cfg.expectedKeysPerShard, cfg.bloomFpp)
-    val bloomShards2 = state.bloomShards
-      .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
-      .join(deltaShards, Seq("shardId"), "full_outer")
-      .select(
-        col("shardId"),
-        coalesce(bloom_or(col("bitsOld"), col("bits")), col("bitsOld"), col("bits")).as("bits"),
-        (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys"))
+    // Bloom growth guard (the bloom twin of the cuckoo sizing guard): the
+    // standing shards' geometry is fixed at build time while the seen set
+    // grows forever — an unguarded incremental OR-merge saturates the
+    // filter (fpp → 1) and the prefilter silently stops rerouting work.
+    // All-arithmetic trigger (no extra jobs: seenSize rides the fetch
+    // counters; one count() only when resuming a store that predates the
+    // field), geometric doubling so total rebuild cost over a crawl's
+    // lifetime is O(final seen size).
+    val seenSize2 =
+      if (state.seenSize >= 0) state.seenSize + nFetched
+      else state.seenExact.count() + nFetched // pre-field store resume, once
+    val standingCap =
+      if (state.bloomKeysPerShard > 0) state.bloomKeysPerShard
+      else cfg.expectedKeysPerShard
+    val projPerShard = seenSize2 / cfg.nShards + 1
+    val (bloomShards2, bloomCap2) =
+      if (projPerShard > standingCap * 85 / 100) {
+        // outgrown: rebuild every shard from the exact table at doubled
+        // geometry (≥ 2× projection) — one sharded groupBy, same shape as
+        // the incremental build, amortized by doubling
+        val newCap = math.max(standingCap * 2, projPerShard * 2)
+        (Seen.buildBloomShards(seenExact2, cfg.nShards, newCap, cfg.bloomFpp), newCap)
+      } else {
+        // headroom confirmed: incremental delta merge, delta built at the
+        // STANDING geometry (OR-merge requires identical (m, k))
+        val deltaShards = Seen.buildBloomShards(
+          okHashes, cfg.nShards, standingCap, cfg.bloomFpp)
+        (state.bloomShards
+          .withColumnRenamed("bits", "bitsOld").withColumnRenamed("numKeys", "nOld")
+          .join(deltaShards, Seq("shardId"), "full_outer")
+          .select(
+            col("shardId"),
+            coalesce(bloom_or(col("bitsOld"), col("bits")), col("bitsOld"), col("bits")).as("bits"),
+            (coalesce(col("nOld"), lit(0L)) + coalesce(col("numKeys"), lit(0L))).as("numKeys")),
+          standingCap)
+      }
     // The failure/cuckoo side updates ONLY when this round actually failed
     // fetches (nFailed is already known from the fetch-stage counters):
     // returning the state tables by REFERENCE otherwise keeps the deletable
@@ -400,7 +440,8 @@ object CrawlRound {
 
     Output(pages, popped,
       State(frontier3, seenExact2, bloomShards2, failed2, cuckooShards2,
-        spilled2, frontierSize2, spilledSize2, failedSize2),
+        spilled2, frontierSize2, spilledSize2, failedSize2,
+        seenSize2, bloomCap2),
       nPopped = nPopped,
       cached = Seq(popped, remaining, fetched, rawCandidates, newEntries),
       mkLineage = mkLineage)

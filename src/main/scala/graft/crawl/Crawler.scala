@@ -44,7 +44,8 @@ object Crawler {
     val sp = s.spilled.map(df =>
       if (prev.exists(_.spilled.exists(_ eq df))) df else df.localCheckpoint(true))
     CrawlRound.State(f, se, bs, fl, cks, sp,
-      s.frontierSize, s.spilledSize, s.failedSize)
+      s.frontierSize, s.spilledSize, s.failedSize,
+      s.seenSize, s.bloomKeysPerShard)
   }
 
   def emptySeen(spark: SparkSession): DataFrame = {
@@ -78,7 +79,8 @@ object Crawler {
       bloomShards = emptyShards(spark),
       failed = emptyFailed(spark),
       cuckooShards = emptyShards(spark),
-      failedSize = 0L)
+      failedSize = 0L,
+      seenSize = 0L)
 
   /** Retire failed fetches matching `pred` back into the frontier for a
     * retry at `nextRound` (503s after a backoff window, infra incidents,

@@ -40,7 +40,25 @@ object SessionCache {
           invalidateKey(sk)
       })
     }
-    cache.computeIfAbsent((sk, key), _ => build.persist())
+    // get-then-putIfAbsent, NOT computeIfAbsent: a builder that itself
+    // consults the cache (a memoized table built from another memoized
+    // table) would nest map mutations inside computeIfAbsent's bin lock —
+    // ConcurrentHashMap throws "Recursive update" whenever the two keys
+    // happen to share a bin, and the session UUID in the key makes that a
+    // per-JVM coin flip (an intermittent failure that cost a debugging
+    // session). The race this admits is benign: a concurrent duplicate
+    // build loses putIfAbsent and unpersists itself.
+    val k = (sk, key)
+    val existing = cache.get(k)
+    if (existing != null) existing
+    else {
+      val built = build.persist()
+      val prev = cache.putIfAbsent(k, built)
+      if (prev != null) {
+        try built.unpersist(false) catch { case _: Throwable => () }
+        prev
+      } else built
+    }
   }
 
   /** Unpersist and drop every entry of `s` — the ApplicationEnd listener's

@@ -156,20 +156,28 @@ object TextOps {
     * computation with the same threshold. */
   private val JACCARD_TAU = 0.5
 
+  /** The hashed-shingle relation (doc_id, grams) — memoized; the exact
+    * index, the md5 signature, the minhash audit, and the pair
+    * verification all read it. Resolved OUTSIDE other builders (nested
+    * SessionCache.df calls are the Recursive-update footgun the cache's
+    * scaladoc describes). */
+  private def gramsTable(s: SparkSession, d: String): DataFrame =
+    SessionCache.df(s, s"jaccard_grams:$d") {
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0)
+    }
+
   /** Exact near-dup pairs (J ≥ tau) via the prefix-filtered inverted
     * index — the body of dedup_ngram_jaccard, memoized per (dir, tau):
     * consumed by that query AND as the exact ground truth of the minhash
     * audit (dedup_minhash_audit), so the expensive index build runs once
     * per session. Returns (id_a, id_b, jaccard), unrounded. */
-  private def ngramJaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame =
+  private def ngramJaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+    val sh = gramsTable(s, d) // resolve BEFORE entering the pairs builder
     SessionCache.df(s, s"jaccard_pairs:$tau:$d") {
       import org.apache.spark.sql.expressions.Window
-      val sh = SessionCache.df(s, s"jaccard_grams:$d") {
-        documents(s, d)
-          .select(col("doc_id"),
-            graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
-          .filter(size(col("grams")) > 0)
-      }
       val exploded = sh.select(
         col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
       val withDf = exploded.withColumn("df",
@@ -194,6 +202,7 @@ object TextOps {
         .filter(col("jaccard") >= tau)
         .select("id_a", "id_b", "jaccard")
     }
+  }
 
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
@@ -317,12 +326,7 @@ object TextOps {
   private val dedupMinhashAudit = Q.noOracle("dedup_minhash_audit") { (s, d) =>
     val truth = ngramJaccardPairs(s, d, JACCARD_TAU).select("id_a", "id_b")
     val reported = minhashPairs(s, d).select("id_a", "id_b")
-    val sh = SessionCache.df(s, s"jaccard_grams:$d") {
-      documents(s, d)
-        .select(col("doc_id"),
-          graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
-        .filter(size(col("grams")) > 0)
-    }
+    val sh = gramsTable(s, d)
     val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
     val exactOfReported = reported
       .join(sh.select(col("doc_id").as("id_a"), col("grams").as("grams_a")), Seq("id_a"))

@@ -52,7 +52,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
                         pagesV: Long, lineageV: Long,
                         spilledV: Long = Long.MinValue,
                         frontierSize: Long = -1L, spilledSize: Long = -1L,
-                        failedSize: Long = -1L)
+                        failedSize: Long = -1L,
+                        seenSize: Long = -1L, bloomKeysPerShard: Long = -1L)
 
   def lastCompleteRound: Option[Int] =
     if (Files.exists(logPointer)) Some(Files.readString(logPointer).trim.toInt) else None
@@ -83,7 +84,10 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       spilledV = optLong(n, "spilledV"),
       frontierSize = if (n.has("frontierSize")) n.get("frontierSize").asLong() else -1L,
       spilledSize = if (n.has("spilledSize")) n.get("spilledSize").asLong() else -1L,
-      failedSize = if (n.has("failedSize")) n.get("failedSize").asLong() else -1L)
+      failedSize = if (n.has("failedSize")) n.get("failedSize").asLong() else -1L,
+      seenSize = if (n.has("seenSize")) n.get("seenSize").asLong() else -1L,
+      bloomKeysPerShard =
+        if (n.has("bloomKeysPerShard")) n.get("bloomKeysPerShard").asLong() else -1L)
   }
 
   private def writeEntry(e: RoundEntry): Unit = {
@@ -99,6 +103,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     if (e.frontierSize >= 0) node.put("frontierSize", e.frontierSize)
     if (e.spilledSize >= 0) node.put("spilledSize", e.spilledSize)
     if (e.failedSize >= 0) node.put("failedSize", e.failedSize)
+    if (e.seenSize >= 0) node.put("seenSize", e.seenSize)
+    if (e.bloomKeysPerShard >= 0) node.put("bloomKeysPerShard", e.bloomKeysPerShard)
     Files.writeString(logDir.resolve(s"round-${e.round}.json"), node.toString)
     val tmp = logDir.resolve(s".current.tmp.${e.round}")
     Files.writeString(tmp, e.round.toString)
@@ -116,7 +122,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       cuckooShards = if (e.cuckooV == NO_TABLE) Crawler.emptyShards(spark) else cuckoo.read(e.cuckooV),
       spilled = if (e.spilledV == NO_TABLE) None else Some(spilled.read(e.spilledV)),
       frontierSize = e.frontierSize, spilledSize = e.spilledSize,
-      failedSize = e.failedSize)
+      failedSize = e.failedSize,
+      seenSize = e.seenSize, bloomKeysPerShard = e.bloomKeysPerShard)
   }
 
   /** Round "-1": the seed state. Idempotent — safe to call on an
@@ -131,7 +138,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
       failedV = failed.commit(Crawler.emptyFailed(spark)),
       cuckooV = cuckoo.commit(Crawler.emptyShards(spark)),
       pagesV = -1L, lineageV = -1L,
-      spilledSize = 0L, failedSize = 0L))
+      spilledSize = 0L, failedSize = 0L, seenSize = 0L))
   }
 
   /** Lineage table rows: partitionId = -1 is the round total; every
@@ -203,7 +210,9 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
           failedV = flv, cuckooV = ckv, pagesV = pv, lineageV = lv,
           spilledV = spv, frontierSize = res.state.frontierSize,
           spilledSize = res.state.spilledSize,
-          failedSize = res.state.failedSize)
+          failedSize = res.state.failedSize,
+          seenSize = res.state.seenSize,
+          bloomKeysPerShard = res.state.bloomKeysPerShard)
         if (r == failBeforeLogAt)
           throw new RuntimeException(s"injected kill before round-$r log commit")
         writeEntry(e)
@@ -215,10 +224,62 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     out.result()
   }
 
-  /** All pages crawled up to the last complete round (pages are per-round
-    * snapshots; the union is the full corpus-crawled table). */
+  /** Oldest round whose log entry is still on disk — gc() trims older
+    * entries, so corpus reads start here instead of round 0. */
+  def oldestRetainedRound: Option[Int] = lastCompleteRound.map { last =>
+    var r = last
+    while (r - 1 >= -1 && Files.exists(logDir.resolve(s"round-${r - 1}.json"))) r -= 1
+    r
+  }
+
+  /** All RETAINED pages up to the last complete round (pages are per-round
+    * snapshots; the union is the corpus-crawled table of the retention
+    * window — the full corpus when gc() has never run). */
   def allPages(): Option[DataFrame] = lastCompleteRound.filter(_ >= 0).map { last =>
-    (0 to last).map(r => pages.read(entry(r).pagesV)).reduce(_ unionByName _)
+    (math.max(0, oldestRetainedRound.get) to last)
+      .map(r => pages.read(entry(r).pagesV)).reduce(_ unionByName _)
+  }
+
+  /** Garbage-collect history: keep the last `keepLastRounds` complete
+    * rounds (plus everything their entries reference) and expire older
+    * table versions + round-log entries — the Iceberg expire-snapshots
+    * analog for the whole store. A snapshot-per-round state layout is
+    * O(rounds × table size) on disk without this; with it, storage is
+    * O(keepLastRounds × table size). Reuse-aware: failed/cuckoo/spill
+    * versions committed long ago but still referenced by a KEPT entry
+    * (clean rounds reuse them — commitOrReuse) are NOT expired, because
+    * each table's expiry floor is the MINIMUM version any kept entry
+    * references. Resume, kill-recovery, and reads within the retention
+    * window are unaffected (GcSpec). Returns table → versions removed. */
+  def gc(keepLastRounds: Int): Map[String, Seq[Long]] = {
+    require(keepLastRounds >= 1, s"keepLastRounds must be >= 1, got $keepLastRounds")
+    val last = lastCompleteRound.getOrElse(return Map.empty)
+    val keepFrom = math.max(-1, last - keepLastRounds + 1)
+    val kept = (keepFrom to last).map(entry)
+    def floor(f: RoundEntry => Long): Option[Long] = {
+      val vs = kept.map(f).filter(v => v != NO_TABLE && v >= 0)
+      if (vs.isEmpty) None else Some(vs.min)
+    }
+    val plan: Seq[(String, SnapshotTable, Option[Long])] = Seq(
+      ("frontier", frontier, floor(_.frontierV)),
+      ("seen", seen, floor(_.seenV)),
+      ("shards", shards, floor(_.shardsV)),
+      ("failed", failed, floor(_.failedV)),
+      ("cuckoo", cuckoo, floor(_.cuckooV)),
+      ("spilled", spilled, floor(_.spilledV)),
+      ("pages", pages, floor(_.pagesV)),
+      ("lineage", lineage, floor(_.lineageV)))
+    val removed = plan.map { case (name, t, fl) =>
+      name -> fl.map(t.expire).getOrElse(Seq.empty)
+    }.toMap
+    // drop the expired rounds' log entries LAST — table expiry above is
+    // idempotent, so a crash mid-gc just re-runs
+    var r = keepFrom - 1
+    while (r >= -1 && Files.exists(logDir.resolve(s"round-$r.json"))) {
+      Files.deleteIfExists(logDir.resolve(s"round-$r.json"))
+      r -= 1
+    }
+    removed
   }
 
   /** Pages crawled in rounds [lo, hi] — the round-sliced corpus read a
@@ -236,7 +297,8 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     * None when the store has no complete round or the slice is empty. */
   def pagesInRounds(lo: Int, hi: Int): Option[DataFrame] =
     lastCompleteRound.filter(_ >= 0).flatMap { last =>
-      val l = math.max(lo, 0); val h = math.min(hi, last)
+      val l = math.max(lo, math.max(0, oldestRetainedRound.get)) // gc-trimmed floor
+      val h = math.min(hi, last)
       (l to h).map(r => pages.readPruned("fetchRound", lo, hi, entry(r).pagesV))
         .reduceOption(_ unionByName _)
     }

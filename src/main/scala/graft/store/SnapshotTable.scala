@@ -186,6 +186,38 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String,
     }
   }
 
+  /** Expire every version strictly below `minKeep`: drop its catalog
+    * registration (bucketed versions), delete its data directory and
+    * manifest — the Iceberg `expireSnapshots` analog. Without expiry a
+    * snapshot-per-round state table accumulates a full copy per round
+    * (fatal at 10^10 scale: storage O(rounds × table size)). Also sweeps
+    * ORPHAN data directories below `minKeep` (a killed commit's
+    * unreferenced files). Time travel to expired versions fails with a
+    * missing-manifest error afterwards — by design. The current version
+    * is never expirable. Returns the versions removed. */
+  def expire(minKeep: Long): Seq[Long] = {
+    val cur = currentVersion.getOrElse(return Seq.empty)
+    require(minKeep <= cur, s"minKeep=$minKeep would expire current version $cur")
+    val dataRoot = tableDir.resolve("data")
+    val removed = Seq.newBuilder[Long]
+    var v = 0L
+    while (v < minKeep) {
+      val mp = manifestPath(v)
+      val dd = dataRoot.resolve(s"v$v")
+      if (Files.exists(mp) || Files.exists(dd)) {
+        if (Files.exists(mp) && manifest(v).get("bucketKey") != null)
+          spark.sql(s"DROP TABLE IF EXISTS ${tableIdent(v)}")
+        if (Files.exists(dd))
+          Files.walk(dd).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        Files.deleteIfExists(mp)
+        removed += v
+      }
+      v += 1
+    }
+    removed.result()
+  }
+
   /** Manifest-level file pruning: read only files whose [min,max] range of
     * `column` intersects [lo, hi] (the poor-man's Iceberg metadata prune —
     * §4.5). */

@@ -27,6 +27,21 @@ class NearDupAuditSpec extends AnyFunSuite {
       assert(precision >= 0.8, s"minhash precision $precision below floor (audit: $m)")
     }
 
+    test(s"embed audit: planted near-dups recalled, exact recheck precise at $dir") {
+      val m = auditRow("dedup_embed_audit", dir)
+      info(s"embed $dir: $m")
+      assert(m("n_planted").asInstanceOf[Long] > 0)
+      // theory for 8 tables x 8 sign bits at cos >= 0.99: >= 0.93
+      assert(m("planted_recall").asInstanceOf[Double] >= 0.9,
+        s"planted twins must collide in some table (audit: $m)")
+      // every reported pair is exactly recosined: precision is 1.0 by
+      // construction and must measure so
+      assert(m("band_precision").asInstanceOf[Double] == 1.0, s"audit: $m")
+      // the adversarial random band is reported, not hidden: non-vacuous
+      assert(m("n_band_true").asInstanceOf[Long] > 0)
+      assert(m("band_recall").asInstanceOf[Double] > 0.05, s"audit: $m")
+    }
+
     test(s"simhash audit: banding is pigeonhole-complete at $dir") {
       val m = auditRow("dedup_simhash_audit", dir)
       info(s"simhash $dir: $m")
