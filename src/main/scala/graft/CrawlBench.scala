@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.crawl._
 import graft.fetch.{CorpusFetcher, Fetcher, GenerativeFetcher}
@@ -120,15 +119,17 @@ object CrawlBench {
         import scala.concurrent.ExecutionContext.Implicits.global
         val tx = System.nanoTime()
         val ckptF = Future(Crawler.checkpointState(out.state, Some(state)))
-        val pages = out.pages.persist(StorageLevel.MEMORY_AND_DISK)
-        pages.agg(sum(length(col("itemText"))), sum(size(col("metrics")))).collect()
+        // Consumed exactly once: a persist here would write ~GBs of wide
+        // extracted rows into the block store per round for no reuse —
+        // pure memory pressure inside the measured span.
+        out.pages.agg(sum(length(col("itemText"))), sum(size(col("metrics")))).collect()
         state = Await.result(ckptF, Duration.Inf)
         if (sys.env.get("GRAFT_CRAWL_VERBOSE").contains("1")) System.err.println(
           f"[round] r=$r popped=${out.nPopped} " +
             f"extract+ckpt(overlapped)=${(System.nanoTime() - tx) / 1e9}%.2fs " +
             f"total=${(System.nanoTime() - t0) / 1e9}%.2fs")
         times += RoundTime(r, out.nPopped, (System.nanoTime() - t0) / 1e9)
-        pages.unpersist()
+
         out.unpersistCached()
       }
       r += 1
