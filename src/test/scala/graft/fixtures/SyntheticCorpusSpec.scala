@@ -38,6 +38,25 @@ class SyntheticCorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("hand-rolled stripHtml is byte-equivalent to the regex chain") {
+    def regexStrip(h: String): String =
+      h.replaceAll("<[^>]*>", " ").replaceAll(" +", " ").trim
+    // generated pages (with fill, like the bench corpus)...
+    (0L until 200L).foreach { i =>
+      val h = SyntheticCorpus.htmlFor(i, 42L, 1000L, 20, 4, fillScale = 7)
+      assert(SyntheticCorpus.stripHtml(h) == regexStrip(h), s"page $i diverged")
+    }
+    // ...and adversarial shapes: unmatched '<', nested '<' inside a tag,
+    // tag runs, non-space whitespace breaking runs, empty tags, edges
+    val evil = Seq(
+      "", "<", ">", "<>", "a<b", "a<b>c", "<a<b>c", "a  b", " a  <p>  b ",
+      "x<p></p>y", "tab\there  two", "nl\n  mix <i> </i> end<", "< >", "<<x>>",
+      "a ><b", "   ", "<x>", "ab", " \n <t> \n ")
+    evil.foreach { h =>
+      assert(SyntheticCorpus.stripHtml(h) == regexStrip(h), s"'$h' diverged")
+    }
+  }
+
   test("every page body contains extractable ITEM 7 span and links") {
     SyntheticCorpus.pages(spark, 50).collect().foreach { p =>
       assert(p.text.contains("ITEM 7."))
