@@ -116,7 +116,7 @@ object CrawlBench {
         // serializing them adds pure per-round fixed cost.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.crawl.DriverWaves.ec
         val tx = System.nanoTime()
         val ckptF = Future(Crawler.checkpointState(out.state, Some(state)))
         // Consumed exactly once: a persist here would write ~GBs of wide

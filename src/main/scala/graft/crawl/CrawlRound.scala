@@ -132,7 +132,7 @@ object CrawlRound {
     // prefilters only reroute work, the exact layer decides.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import DriverWaves.ec
     val haveFailedOld = state.failedSize != 0L
     val oldShardArraysF =
       if (cfg.broadcastBloomProbe) Some((
@@ -141,13 +141,38 @@ object CrawlRound {
         else Future.successful(new Array[Array[Byte]](cfg.nShards))))
       else None
 
+    // One FUSED pass: fetch → X1/X2 extraction → link extraction, all
+    // inside the single eager job below. The raw page (`html` binary +
+    // stripped `text`, the round's widest data by far) exists only
+    // TRANSIENTLY inside this pipeline — per row, inside whole-stage
+    // codegen — and never reaches the block store: what persists is the
+    // round's OUTPUT shape (itemText/metrics + the ≤fanout extracted link
+    // strings + narrow meta), roughly half the bytes. The unfused form
+    // cached html+text and re-read them for extraction and expansion —
+    // O(raw corpus) of extra single-box memory/page-cache traffic per
+    // round, the measured reason the extract+checkpoint wave scaled only
+    // 2.5× at 4→16 cores (BENCH/BASELINE.md round-4 stage table). The
+    // persist is COLUMNAR (InMemoryRelation cached batches), so the many
+    // narrow bookkeeping consumers (okHashes, fail rows, counters) read
+    // only the columns they name, never the itemText payload.
+    val okRow = col("status") === 200
+    val fetched = fetcher.fetch(popped)
+      .select(col("url"), col("urlHash"), col("host"), col("priority"),
+        col("depth"), col("round"), col("popRank"), col("status"),
+        col("fetchTs"), col("lang"),
+        when(okRow, Extractors.extract_10k(col("text"))).as("itemText"),
+        when(okRow, Extractors.extract_metrics(col("text"))).as("metrics"),
+        when(okRow && col("depth") < cfg.maxDepth,
+          Frontier.extractRawLinks(col("html"))).as("links"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
     // One job yields popped+fetched PER PARTITION (the lineage contract):
     // the Fetcher contract is strictly 1:1 per popped url (Fetcher trait
     // scaladoc; asserted in CrawlSpec), so fetched rows = popped rows and
     // counting popped separately would be a second full pass. The groupBy
     // on spark_partition_id replaces the scalar agg — same single job, the
-    // grouped result is #partitions rows collected to the driver.
-    val fetched = fetcher.fetch(popped).persist(StorageLevel.MEMORY_AND_DISK)
+    // grouped result is #partitions rows collected to the driver. This is
+    // the action that materializes the fused pass above.
     val fetchParts = timed("fetch") {
       fetched.groupBy(spark_partition_id().as("pid"))
         .agg(count(lit(1)).as("n"), count_if(col("status") === 200).as("ok"))
@@ -156,16 +181,13 @@ object CrawlRound {
     val nPopped = fetchParts.map(_._2).sum
     val nFetched = fetchParts.map(_._3).sum
 
-    // X1/X2 — the extraction expressions; `html` never survives this select
-    // (column pruning: the widest column dies as early as possible).
     // `round` is the entry's ENQUEUE round (an entry can wait several
     // rounds under budget); `fetchRound` is the round that actually
     // fetched it — the column round-sliced corpus reads prune on
-    // (DurableCrawler.pagesInRounds).
+    // (DurableCrawler.pagesInRounds). itemText/metrics were computed in
+    // the fused pass — this is a pure projection of the cached columns.
     val pages = fetched
       .filter(col("status") === 200)
-      .withColumn("itemText", Extractors.extract_10k(col("text")))
-      .withColumn("metrics", Extractors.extract_metrics(col("text")))
       .withColumn("fetchRound", lit(round))
       .select("url", "urlHash", "host", "depth", "round", "fetchRound",
         "popRank", "status", "fetchTs", "lang", "itemText", "metrics")
@@ -287,7 +309,7 @@ object CrawlRound {
     // failedSize after this round's failures (arithmetic; -1 stays unknown).
     val failedSize2 =
       if (state.failedSize >= 0) state.failedSize + nFailed else -1L
-    val rawCandidates = Frontier.expand(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
+    val rawCandidates = Frontier.expandFromLinks(fetched, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     val allowed = Robots.filterAllowed(rawCandidates, robots)
     // Anti vs the CHECKPOINTED input frontier, not `remaining`: frontier =
     // remaining ∪ popped and popped ⊆ seen (already excluded by filterNew),

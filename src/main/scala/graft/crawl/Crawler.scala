@@ -27,7 +27,7 @@ object Crawler {
                       prev: Option[CrawlRound.State] = None): CrawlRound.State = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
+    import DriverWaves.ec
     // A table CrawlRound returned BY REFERENCE from the previous
     // (already-checkpointed) state is unchanged — re-checkpointing it
     // would be a pure fixed-cost job (the failure-side tables are
@@ -112,7 +112,7 @@ object Crawler {
       // return instead of leaking until the caller's next state checkpoint.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      import DriverWaves.ec
       val Seq(frontier2, keep2) = Await.result(Future.sequence(Seq(
         Future(state.frontier.unionByName(retryEntries).localCheckpoint(true)),
         Future(keep.localCheckpoint(true)))), Duration.Inf)
@@ -153,7 +153,7 @@ object Crawler {
         // per-round driver fixed cost the scaling bench exposes.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import DriverWaves.ec
         val lineageF = Future(out.lineage)
         val pagesF = Future(out.pages.localCheckpoint(true))
         val popF = Future(out.popped

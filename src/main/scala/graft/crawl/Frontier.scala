@@ -127,8 +127,14 @@ object Frontier {
     var boundary: (Double, Long) = null
     while (boundary == null) {
       if (cellCount <= SMALL_COLLECT_CAP) {
+        // `+ 0.0` normalizes a negated zero priority to +0.0 BEFORE the
+        // local sort: Scala's total double ordering puts -0.0 < 0.0 while
+        // the distributed split filter compares with SQL semantics
+        // (-0.0 == 0.0, ties broken by urlHash) — an unnormalized boundary
+        // cell holding both zero signs could pick a boundary key that
+        // disagrees with the filter and return more than n rows.
         val keys = cell.select(col("priority"), col("urlHash")).collect()
-          .map(r => (-r.getDouble(0), r.getLong(1))).sorted
+          .map(r => (-r.getDouble(0) + 0.0, r.getLong(1))).sorted
         lastMaxCollected = math.max(lastMaxCollected, keys.length.toLong)
         val (np, h) = keys(rank.toInt - 1)
         boundary = (np, h)
@@ -163,18 +169,20 @@ object Frontier {
 
   private val HREF_PATTERN = """href="([^"]+)""""
 
-  /** E1/E2 — link extraction + candidate shaping: hrefs out of fetched
-    * html, canonicalized, hashed, deduped map-side by the partial
-    * aggregation of the groupBy (dedup-before-shuffle layer 1). Children
-    * inherit priority basePriority/2^depth. */
-  def expand(fetched: DataFrame, cfg: CrawlConfig): DataFrame = {
-    val links = fetched
-      .filter(col("status") === 200 && col("depth") < cfg.maxDepth)
-      .withColumn("__html_str", decode(col("html"), "UTF-8"))
-      .select(
-        explode(expr(s"""regexp_extract_all(__html_str, '$HREF_PATTERN', 1)"""))
-          .as("rawUrl"),
-        col("depth").as("parentDepth"))
+  /** The raw href targets of an `html` binary column, as array<string> —
+    * the link-extraction kernel shared by [[expand]] and the crawl round's
+    * FUSED fetch pass (which computes it inline so the wide html bytes
+    * never need to be cached for a later expansion scan). */
+  def extractRawLinks(html: Column): Column = {
+    val htmlStr = decode(html, "UTF-8")
+    regexp_extract_all(htmlStr, lit(HREF_PATTERN), lit(1))
+  }
+
+  /** The shared candidate-shaping chain: (rawUrl, parentDepth) rows →
+    * canonical deduped frontier entries. Children inherit priority
+    * basePriority/2^depth. */
+  private def shapeCandidates(raw: DataFrame, cfg: CrawlConfig): DataFrame = {
+    val shaped = raw
       .select(canonicalize_url(col("rawUrl")).as("url"), col("parentDepth"))
       .filter(col("url").startsWith("http"))
       .withColumn("urlHash", xxhash64(col("url")))
@@ -185,6 +193,27 @@ object Frontier {
         else basePriority(col("urlHash")))
       .withColumn("round", lit(0)) // caller stamps the real round
       .select("url", "urlHash", "host", "priority", "depth", "round")
-    dedupEntries(links)
+    dedupEntries(shaped)
   }
+
+  /** E1/E2 — link extraction + candidate shaping: hrefs out of fetched
+    * html, canonicalized, hashed, deduped map-side by the partial
+    * aggregation of the groupBy (dedup-before-shuffle layer 1). */
+  def expand(fetched: DataFrame, cfg: CrawlConfig): DataFrame =
+    shapeCandidates(
+      fetched
+        .filter(col("status") === 200 && col("depth") < cfg.maxDepth)
+        .select(explode(extractRawLinks(col("html"))).as("rawUrl"),
+          col("depth").as("parentDepth")),
+      cfg)
+
+  /** [[expand]] for rows whose links are ALREADY extracted (the fused
+    * fetch pass): `processed` carries links:array<string> — null on
+    * non-200 / max-depth rows, which explode() drops, so the output is
+    * row-for-row identical to expand() over the same fetched rows. */
+  def expandFromLinks(processed: DataFrame, cfg: CrawlConfig): DataFrame =
+    shapeCandidates(
+      processed.select(explode(col("links")).as("rawUrl"),
+        col("depth").as("parentDepth")),
+      cfg)
 }

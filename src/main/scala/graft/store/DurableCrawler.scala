@@ -189,7 +189,7 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
         // the spill is by design the biggest table in the engine.
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
+        import graft.crawl.DriverWaves.ec
         def commitOrReuse(df: org.apache.spark.sql.DataFrame,
                           prevDf: org.apache.spark.sql.DataFrame,
                           table: SnapshotTable, prevV: Long): Future[Long] =
