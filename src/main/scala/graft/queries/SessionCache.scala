@@ -37,7 +37,7 @@ object SessionCache {
     if (hooked.add(sk)) {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          invalidateKey(sk)
+          invalidateKey(sk, unhook = true)
       })
     }
     // get-then-putIfAbsent, NOT computeIfAbsent: a builder that itself
@@ -63,9 +63,15 @@ object SessionCache {
 
   /** Unpersist and drop every entry of `s` — the ApplicationEnd listener's
     * body. Safe to call on a live session: later df() calls rebuild. */
-  def invalidate(s: SparkSession): Unit = invalidateKey(sessionKey(s))
+  def invalidate(s: SparkSession): Unit = invalidateKey(sessionKey(s), unhook = false)
 
-  private def invalidateKey(sk: String): Unit = {
+  /** `unhook` is true ONLY from the ApplicationEnd listener: a direct
+    * invalidate() on a LIVE session must keep `hooked` set, or every
+    * invalidate-then-df() cycle would register one more (never-removed)
+    * listener on the shared SparkContext — an unbounded listener-bus leak
+    * over a long session. The one registered listener stays in place and
+    * idempotently re-fires at the real application end. */
+  private def invalidateKey(sk: String, unhook: Boolean): Unit = {
     import scala.jdk.CollectionConverters._
     cache.keySet.asScala.filter(_._1 == sk).toSeq.foreach { k =>
       Option(cache.remove(k)).foreach { d =>
@@ -73,7 +79,7 @@ object SessionCache {
         try d.unpersist(false) catch { case _: Throwable => () }
       }
     }
-    hooked.remove(sk)
+    if (unhook) hooked.remove(sk)
   }
 
   /** Entries currently cached for `s` (spec instrumentation). */

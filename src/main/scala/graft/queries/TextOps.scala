@@ -267,9 +267,13 @@ object TextOps {
         .filter(col("bucket_n") <= cap).drop("bucket_n"),
       keyCols, "left_semi")
 
-  /** MinHash + LSH reported pairs (before presentation order/limit) — the
-    * body of dedup_minhash, factored so the precision/recall audit
-    * measures EXACTLY what the query reports. */
+  /** MinHash + LSH reported pairs — the body of dedup_minhash, factored so
+    * the precision/recall audit measures the same pipeline. Scope note:
+    * this is the PRE-PRESENTATION pair set — dedup_minhash additionally
+    * applies a deterministic ORDER BY + LIMIT 1000 for display, so above
+    * 1000 pairs the audit describes the pipeline, not the truncated
+    * listing. NearDupAuditSpec asserts the audit fixture stays under the
+    * limit, where the two coincide exactly. */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val rowsPerBand = MINHASH_K / LSH_BANDS
     // The narrow (doc_id, sig) table is consumed twice downstream (cap
@@ -321,8 +325,10 @@ object TextOps {
     * brute force by NgramJaccardSpec) that dedup_minhash reports;
     * precision = fraction of reported pairs whose EXACT Jaccard clears the
     * query's own 0.25 estimate threshold (computed per candidate pair —
-    * never all-pairs). Deterministic counts; floors pinned in
-    * NearDupAuditSpec. */
+    * never all-pairs). Audits the pre-presentation pipeline (see
+    * [[minhashPairs]]'s scope note — identical to the query's output while
+    * reported pairs ≤ its LIMIT 1000, which the spec asserts for the
+    * fixture). Deterministic counts; floors pinned in NearDupAuditSpec. */
   private val dedupMinhashAudit = Q.noOracle("dedup_minhash_audit") { (s, d) =>
     val truth = ngramJaccardPairs(s, d, JACCARD_TAU).select("id_a", "id_b")
     val reported = minhashPairs(s, d).select("id_a", "id_b")

@@ -28,4 +28,13 @@ object GraftSqlBridge {
       org.apache.spark.scheduler.SparkListenerApplicationEnd(System.currentTimeMillis()))
     s.sparkContext.listenerBus.waitUntilEmpty()
   }
+
+  /** Test hook: how many registered bus listeners have `nameFragment` in
+    * their class name — SessionCacheSpec pins that invalidate-then-df
+    * cycles never accumulate listeners on the shared context. */
+  def listenerCount(s: SparkSession, nameFragment: String): Int = {
+    import scala.jdk.CollectionConverters._
+    s.sparkContext.listenerBus.listeners.asScala
+      .count(_.getClass.getName.contains(nameFragment))
+  }
 }

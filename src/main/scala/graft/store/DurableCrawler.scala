@@ -23,7 +23,7 @@ import graft.fetch.Fetcher
   * outputs. Orphaned table versions from a killed round are unreferenced
   * and harmless.
   */
-class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = CrawlConfig()) {
+class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = CrawlConfig()) {
   private val mapper = new ObjectMapper()
   // The three tables every round anti-joins against are hash-bucketed by
   // urlHash: their committed scans arrive pre-partitioned, so the per-round
@@ -232,12 +232,25 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     r
   }
 
+  /** Round r's committed pages with a `fetchRound` column GUARANTEED: a
+    * store written before the column existed (resume-compat path — the
+    * seenSize/bloomKeysPerShard -1 fallbacks support exactly such stores)
+    * has page versions without it, and a plain union with new-format
+    * versions would throw AnalysisException on the first post-upgrade
+    * round. A pre-column version is by construction exactly round r's
+    * pages, so the round-log entry's round number IS its fetchRound. */
+  private def pagesOfRound(r: Int): DataFrame = {
+    val df = pages.read(entry(r).pagesV)
+    if (df.columns.contains("fetchRound")) df
+    else df.withColumn("fetchRound", lit(r))
+  }
+
   /** All RETAINED pages up to the last complete round (pages are per-round
     * snapshots; the union is the corpus-crawled table of the retention
     * window — the full corpus when gc() has never run). */
   def allPages(): Option[DataFrame] = lastCompleteRound.filter(_ >= 0).map { last =>
     (math.max(0, oldestRetainedRound.get) to last)
-      .map(r => pages.read(entry(r).pagesV)).reduce(_ unionByName _)
+      .map(pagesOfRound).reduce(_ unionByName _)
   }
 
   /** Garbage-collect history: keep the last `keepLastRounds` complete
@@ -299,8 +312,16 @@ class DurableCrawler(spark: SparkSession, root: String, cfg: CrawlConfig = Crawl
     lastCompleteRound.filter(_ >= 0).flatMap { last =>
       val l = math.max(lo, math.max(0, oldestRetainedRound.get)) // gc-trimmed floor
       val h = math.min(hi, last)
-      (l to h).map(r => pages.readPruned("fetchRound", lo, hi, entry(r).pagesV))
-        .reduceOption(_ unionByName _)
+      (l to h).map { r =>
+        val v = entry(r).pagesV
+        // A pre-fetchRound version can't file-prune on the column (its
+        // files carry no such stats) — but it IS whole-round r's pages and
+        // r ∈ [l, h], so whole-version selection via the round log is the
+        // exact slice; stamp the column so the union stays uniform.
+        if (pages.schemaAt(v).fieldNames.contains("fetchRound"))
+          pages.readPruned("fetchRound", lo, hi, v)
+        else pages.read(v).withColumn("fetchRound", lit(r))
+      }.reduceOption(_ unionByName _)
     }
 
   def currentState(): CrawlRound.State = stateAt(lastCompleteRound.get)

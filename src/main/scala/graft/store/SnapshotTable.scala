@@ -144,6 +144,15 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String,
 
   private def manifest(v: Long): JsonNode = mapper.readTree(Files.readString(manifestPath(v)))
 
+  /** Schema of a committed version, from its manifest (no data I/O) —
+    * lets callers branch on schema evolution (e.g. a column added by a
+    * newer build) before choosing a read path. */
+  def schemaAt(version: Long = -1L): StructType = {
+    val v = if (version >= 0) version else currentVersion.getOrElse(
+      throw new IllegalStateException(s"table $name has no committed version"))
+    schemaOf(manifest(v))
+  }
+
   private def schemaOf(m: JsonNode): StructType =
     DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType]
 

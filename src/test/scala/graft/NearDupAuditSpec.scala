@@ -25,6 +25,13 @@ class NearDupAuditSpec extends AnyFunSuite {
       assert(nTrue > 0, "no true near-dup pairs — audit is vacuous")
       assert(recall >= 0.6, s"minhash recall $recall below floor (audit: $m)")
       assert(precision >= 0.8, s"minhash precision $precision below floor (audit: $m)")
+      // The audit measures the PRE-presentation pair set (minhashPairs
+      // scope note); it equals dedup_minhash's actual output only while
+      // reported pairs fit inside the query's LIMIT 1000 — pin that the
+      // fixture stays in that regime, so the audited numbers describe
+      // exactly what the query reports here.
+      assert(m("n_reported").asInstanceOf[Long] <= 1000L,
+        s"fixture outgrew dedup_minhash's LIMIT — audit no longer describes the query output: $m")
     }
 
     test(s"embed audit: planted near-dups recalled, exact recheck precise at $dir") {

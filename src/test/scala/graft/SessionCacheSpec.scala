@@ -36,4 +36,20 @@ class SessionCacheSpec extends AnyFunSuite {
     SessionCache.invalidate(spark)
     assert(SessionCache.sizeFor(spark) == 0)
   }
+
+  test("invalidate-then-df cycles register at most one bus listener (no listener leak)") {
+    import org.apache.spark.sql.GraftSqlBridge.listenerCount
+    SessionCache.df(spark, "sc-spec-leak") { spark.range(2).toDF() }
+    val base = listenerCount(spark, "SessionCache")
+    assert(base >= 1)
+    (1 to 5).foreach { _ =>
+      SessionCache.invalidate(spark)
+      SessionCache.df(spark, "sc-spec-leak") { spark.range(2).toDF() }
+    }
+    assert(listenerCount(spark, "SessionCache") == base,
+      "each invalidate()+df() cycle must NOT add another ApplicationEnd listener")
+    // and the one standing listener still performs the session-end cleanup
+    org.apache.spark.sql.GraftSqlBridge.fireApplicationEnd(spark)
+    assert(SessionCache.sizeFor(spark) == 0)
+  }
 }

@@ -53,4 +53,37 @@ class RoundSliceSpec extends AnyFunSuite {
     // and an intersecting slice reads the version's files normally
     assert(crawler.pages.readPruned("fetchRound", 2, 2, v2).count() > 0)
   }
+
+  test("a pre-fetchRound pages version (old-build store) still reads via allPages and pagesInRounds") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr(df.columns.sorted.toSeq: _*).collect().map(_.toString).sorted.toSeq
+    val expectAll = rows(crawler.allPages().get)
+    val expectR0 = rows(crawler.pagesInRounds(0, 0).get)
+
+    // Simulate round 0 having been committed by a build that predates the
+    // fetchRound column: commit a column-less copy as a new pages version
+    // and point round-0.json's pagesV at it (the round log is the only
+    // reference — data-file immutability is preserved).
+    val v0 = crawler.pagesVersionAt(0)
+    val legacy = crawler.pages.read(v0).drop("fetchRound")
+    val legacyV = crawler.pages.commit(legacy)
+    val p = java.nio.file.Paths.get(crawler.root, "roundlog", "round-0.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(Files.readString(p))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    n.put("pagesV", legacyV)
+    Files.writeString(p, n.toString)
+
+    // allPages: the legacy version unions with new-format rounds (no
+    // AnalysisException), fetchRound coalesced from the round-log round.
+    val all2 = crawler.allPages().get
+    assert(rows(all2) == expectAll)
+    // pagesInRounds: whole-version selection for the legacy round — exact.
+    val r0 = crawler.pagesInRounds(0, 0).get
+    assert(rows(r0) == expectR0)
+    assert(r0.select("fetchRound").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    // a slice excluding round 0 must not read the legacy version at all
+    assert(crawler.pagesInRounds(1, 2).get.filter(col("fetchRound") === 0).count() == 0)
+  }
 }
