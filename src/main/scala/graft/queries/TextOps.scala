@@ -118,6 +118,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-engine FINGERPRINT PARITY twin of text_fingerprint — the same
+    * trick as minhash_signature: md5 is the hash both engines compute
+    * identically, so an md5-chained fold (acc' = md5(acc ++ ":" ++ token),
+    * acc0 = "") pins the fingerprint MACHINERY (tokenize, ordered
+    * left-to-right fold, per-step mixing) against DuckDB exactly. It is
+    * order-sensitive like the production rotate-xor fingerprint; only the
+    * mixing hash differs (production keeps the cheaper xxhash64). */
+  private val fingerprintSignature = Q(
+    "fingerprint_signature",
+    """SELECT doc_id,
+      |       list_reduce(list_prepend('', str_split(text, ' ')),
+      |                   (acc, t) -> md5(acc || ':' || t)) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      aggregate(tokens, lit(""),
+        (acc, t) => md5(concat(acc, lit(":"), t))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- dedup
   private val dedupExact = Q(
     "dedup_exact",
@@ -174,7 +194,8 @@ object TextOps {
     * consumed by that query AND as the exact ground truth of the minhash
     * audit (dedup_minhash_audit), so the expensive index build runs once
     * per session. Returns (id_a, id_b, jaccard), unrounded. */
-  private def ngramJaccardPairs(s: SparkSession, d: String, tau: Double): DataFrame = {
+  def ngramJaccardPairs(s: SparkSession, d: String,
+                        tau: Double = JACCARD_TAU): DataFrame = {
     val sh = gramsTable(s, d) // resolve BEFORE entering the pairs builder
     SessionCache.df(s, s"jaccard_pairs:$tau:$d") {
       import org.apache.spark.sql.expressions.Window
@@ -238,21 +259,19 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** MinHash signature: K independent xxhash64 seeds over the shingle set. */
-  private val MINHASH_K = 16
-  private val LSH_BANDS = 4 // 4 bands × 4 rows
-  private val BUCKET_CAP = 50 // skip mega-buckets (LSH skew guard)
+  // MinHash/SimHash/LSH tunables live in graft.queries.{MinHashParams,
+  // SimHashParams} (library arguments with the registry-bound defaults).
 
   /** One aggregate pass computing all K minhashes together. The naive form
     * (K independent array_min(transform(...)) expressions) references the
     * shingle-array expression K times, and CollapseProject inlines the
     * whole shingle generation into each — 16× the work. Folding a K-long
     * accumulator keeps exactly one reference. */
-  private def minhashSig(sh: Column): Column =
+  private def minhashSig(sh: Column, p: MinHashParams): Column =
     aggregate(sh,
-      array_repeat(lit(Long.MaxValue), MINHASH_K),
+      array_repeat(lit(Long.MaxValue), p.k),
       (acc, g) => zip_with(acc,
-        array((0 until MINHASH_K).map(k => xxhash64(g, lit(k))): _*),
+        array((0 until p.k).map(k => xxhash64(g, lit(k))): _*),
         (a, b) => least(a, b)))
 
   /** LSH skew guard: keep only bucket members of buckets with ≤ cap rows.
@@ -274,8 +293,8 @@ object TextOps {
     * 1000 pairs the audit describes the pipeline, not the truncated
     * listing. NearDupAuditSpec asserts the audit fixture stays under the
     * limit, where the two coincide exactly. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val rowsPerBand = MINHASH_K / LSH_BANDS
+  def minhashPairs(s: SparkSession, d: String,
+                   p: MinHashParams = MinHashParams()): DataFrame = {
     // The narrow (doc_id, sig) table is consumed twice downstream (cap
     // count + pair join); memoized per session (SessionCache) so the
     // shingle+hash pass — the expensive part — runs once and repeat
@@ -283,21 +302,21 @@ object TextOps {
     // Shingles come pre-hashed from word_shingles64; the K-seeded minhash
     // family re-hashes the longs (an equally valid MinHash family, and
     // seeded long-hashing is far cheaper than seeded string-hashing).
-    val sig = SessionCache.df(s, s"minhash_sig:$d") {
+    val sig = SessionCache.df(s, s"minhash_sig:${p.k}:$d") {
       documents(s, d)
         .select(col("doc_id"),
           graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
         .filter(size(col("grams")) > 0)
-        .select(col("doc_id"), minhashSig(col("grams")).as("sig"))
+        .select(col("doc_id"), minhashSig(col("grams"), p).as("sig"))
     }
     val banded = sig.select(
       col("doc_id"), col("sig"),
-      posexplode(array((0 until LSH_BANDS).map { b =>
+      posexplode(array((0 until p.bands).map { b =>
         xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+          slice(col("sig"), b * p.rowsPerBand + 1, p.rowsPerBand)), lit(b))
       }: _*)).as(Seq("band", "band_key")))
-    // LSH skew guard: drop buckets larger than BUCKET_CAP before pairing.
-    val bucketed = capBuckets(banded, Seq("band", "band_key"), BUCKET_CAP)
+    // LSH skew guard: drop buckets larger than bucketCap before pairing.
+    val bucketed = capBuckets(banded, Seq("band", "band_key"), p.bucketCap)
     val l = bucketed.select(col("band"), col("band_key"),
       col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val r = bucketed.select(col("band").as("band_r"), col("band_key").as("key_r"),
@@ -306,9 +325,9 @@ object TextOps {
         && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / MINHASH_K).as("est_jaccard"))
+          b => b)).cast("double") / p.k).as("est_jaccard"))
       .distinct()
-      .filter(col("est_jaccard") >= 0.25)
+      .filter(col("est_jaccard") >= p.estTau)
   }
 
   /** MinHash + LSH near-dup candidates: shingle → K minhashes → band keys →
@@ -329,9 +348,11 @@ object TextOps {
     * [[minhashPairs]]'s scope note — identical to the query's output while
     * reported pairs ≤ its LIMIT 1000, which the spec asserts for the
     * fixture). Deterministic counts; floors pinned in NearDupAuditSpec. */
-  private val dedupMinhashAudit = Q.noOracle("dedup_minhash_audit") { (s, d) =>
-    val truth = ngramJaccardPairs(s, d, JACCARD_TAU).select("id_a", "id_b")
-    val reported = minhashPairs(s, d).select("id_a", "id_b")
+  def minhashAudit(s: SparkSession, d: String,
+                   p: MinHashParams = MinHashParams(),
+                   tau: Double = JACCARD_TAU): DataFrame = {
+    val truth = ngramJaccardPairs(s, d, tau).select("id_a", "id_b")
+    val reported = minhashPairs(s, d, p).select("id_a", "id_b")
     val sh = gramsTable(s, d)
     val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
     val exactOfReported = reported
@@ -343,13 +364,16 @@ object TextOps {
     val nRep = reported.agg(count(lit(1)).as("n_reported"))
     val nRec = truth.join(reported, Seq("id_a", "id_b"), "left_semi")
       .agg(count(lit(1)).as("n_recalled"))
-    val nPrec = exactOfReported.filter(col("true_j") >= 0.25)
+    val nPrec = exactOfReported.filter(col("true_j") >= p.estTau)
       .agg(count(lit(1)).as("n_precise"))
     nTrue.crossJoin(nRep).crossJoin(nRec).crossJoin(nPrec)
       .select(col("n_true"), col("n_reported"), col("n_recalled"), col("n_precise"),
         round(col("n_recalled") / col("n_true"), 4).as("recall"),
         round(col("n_precise") / col("n_reported"), 4).as("precision"))
   }
+
+  private val dedupMinhashAudit =
+    Q.noOracle("dedup_minhash_audit")(minhashAudit(_, _))
 
   /** Cross-engine MinHash SIGNATURE PARITY: md5 is the one hash both
     * engines compute identically on the same bytes, so an md5-seeded
@@ -403,13 +427,15 @@ object TextOps {
     }
 
   /** SimHash banded reported pairs (before presentation order/limit). */
-  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String,
+                   p: SimHashParams = SimHashParams()): DataFrame = {
     val sh = simhashTable(s, d)
+    val bandMask = if (p.bandBits == 64) -1L else (1L << p.bandBits) - 1L
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+      posexplode(array((0 until p.bands).map { b =>
+        shiftrightunsigned(col("simhash"), b * p.bandBits).bitwiseAND(lit(bandMask))
       }: _*)).as(Seq("band", "chunk")))
-    val capped = capBuckets(banded, Seq("band", "chunk"), BUCKET_CAP)
+    val capped = capBuckets(banded, Seq("band", "chunk"), p.bucketCap)
     val l = capped.select(col("band"), col("chunk"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = capped.select(col("band").as("band_r"), col("chunk").as("chunk_r"),
@@ -419,7 +445,7 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= p.maxHamming)
   }
 
   /** 64-bit SimHash from token hashes (majority vote per bit), banded into
@@ -439,25 +465,29 @@ object TextOps {
     * cap loss visible, and precision is 1.0 by construction (every
     * reported pair re-verified with the exact XOR). Floors pinned in
     * NearDupAuditSpec. */
-  private val dedupSimhashAudit = Q.noOracle("dedup_simhash_audit") { (s, d) =>
+  def simhashAudit(s: SparkSession, d: String,
+                   p: SimHashParams = SimHashParams()): DataFrame = {
     val sh = simhashTable(s, d)
     val truth = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
       .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
       .filter(col("id_a") < col("id_b") &&
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= p.maxHamming)
       .select("id_a", "id_b")
-    val reported = simhashPairs(s, d)
+    val reported = simhashPairs(s, d, p)
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val nRep = reported.agg(count(lit(1)).as("n_reported"))
     val nRec = truth.join(reported.select("id_a", "id_b"),
       Seq("id_a", "id_b"), "left_semi").agg(count(lit(1)).as("n_recalled"))
-    val nPrec = reported.filter(col("hamming") <= 3)
+    val nPrec = reported.filter(col("hamming") <= p.maxHamming)
       .agg(count(lit(1)).as("n_precise"))
     nTrue.crossJoin(nRep).crossJoin(nRec).crossJoin(nPrec)
       .select(col("n_true"), col("n_reported"), col("n_recalled"), col("n_precise"),
         round(col("n_recalled") / col("n_true"), 4).as("recall"),
         round(col("n_precise") / col("n_reported"), 4).as("precision"))
   }
+
+  private val dedupSimhashAudit =
+    Q.noOracle("dedup_simhash_audit")(simhashAudit(_, _))
 
   // -------------------------------------------------- extraction (X1/X2)
   /** Deterministic 10-K-shaped text synthesized identically in both engines
@@ -681,10 +711,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** MULTI-FRAME container decode with an exact cross-engine oracle:
+    * payloads are real animated GIFs (LZW-compressed, frame count
+    * 1 + doc_id % 5) encoded via javax.imageio from formulas that are pure
+    * functions of doc_id; the decoder reads every frame back through
+    * ImageIO AND walks the GIF89a block structure for frame offsets (the
+    * two must agree — decodeGif cross-checks). DuckDB recomputes geometry
+    * and the exact frame/offset counts from the generation formulas. The
+    * offsets' VALUES depend on the JDK encoder's LZW output, so they are
+    * pinned structurally in MultimodalSpec, not here. */
+  private val multimodalDecodeGif = Q(
+    "multimodal_decode_gif",
+    """SELECT doc_id,
+      |  'gif' AS codec,
+      |  CAST(16 + doc_id % 32 AS INT) AS width,
+      |  CAST(8 + doc_id % 16 AS INT) AS height,
+      |  CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
+      |  CAST(1 + doc_id % 5 AS BIGINT) AS n_offsets
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.multimodal.{Codecs, JvmCodecDecoder, Multimodal}
+    val media = documents(s, d).select(col("doc_id").cast("long")).as[Long].map { id =>
+      Multimodal.MediaRow(id, "gif",
+        Codecs.makeGif((16 + id % 32).toInt, (8 + id % 16).toInt,
+          (1 + id % 5).toInt, seed = id))
+    }
+    Multimodal.decode(media, new JvmCodecDecoder())
+      .toDF()
+      .select(col("doc_id"), col("kind").as("codec"), col("width"),
+        col("height"), col("n_frames"),
+        size(col("frame_offsets")).cast("long").as("n_offsets"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
-    tokenCount, textQuality, textLangId, textFingerprint,
+    tokenCount, textQuality, textLangId, textFingerprint, fingerprintSignature,
     dedupExact, dedupNgramJaccard, dedupMinhash, minhashSignature, dedupSimhash,
     dedupMinhashAudit, dedupSimhashAudit,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
-    multimodalDecode, multimodalDecodeReal, multimodalDecodeImg)
+    multimodalDecode, multimodalDecodeReal, multimodalDecodeImg,
+    multimodalDecodeGif)
 }

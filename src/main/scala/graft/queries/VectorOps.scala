@@ -105,14 +105,15 @@ object VectorOps {
   /** 8 independent hash tables × 8 sign bits each. Deterministic Rademacher
     * (±1) hyperplanes from a fixed LCG seed — pure data, identical across
     * executors and partition counts. Plane t*BITS+j is bit j of table t. */
-  private val N_TABLES = 8
-  private val BITS = 8
+  // nTables/bits are LshParams arguments now (registry defaults 8×8).
   /** Flattened [table·bits][dim] Rademacher hyperplane matrix (±1 from a
-    * fixed LCG seed — pure data, identical across executors/partitions). */
-  private lazy val planesFlat: Array[Double] = {
+    * fixed LCG seed — pure data, identical across executors/partitions;
+    * a prefix property: smaller parameterizations see the same leading
+    * planes). Built per call — 4–8 KB of driver-side data. */
+  private def planesFor(p: LshParams): Array[Double] = {
     var st = 42L
     def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
-    Array.fill(N_TABLES * BITS * DIM)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0)
+    Array.fill(p.nTables * p.bits * DIM)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0)
   }
 
   /** The NARROW hash relation: one (vec_id, tbl, bucket) row per table.
@@ -122,12 +123,10 @@ object VectorOps {
     * (SessionCache): every consumer joins this relation at least twice
     * (probe + candidate side), and ann_lsh_topk / ann_recall /
     * dedup_embed_cosine all share it. */
-  private def hashRelation(s: SparkSession, d: String): DataFrame =
-    SessionCache.df(s, s"lsh_hashes:$d") {
-      embWithNorm(s, d)
-        .withColumn("buckets", graft.expr.VectorExprs.lsh_buckets(
-          col("embedding"), planesFlat, DIM, N_TABLES, BITS))
-        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+  private def hashRelation(s: SparkSession, d: String,
+                           p: LshParams = LshParams()): DataFrame =
+    SessionCache.df(s, s"lsh_hashes:${p.nTables}x${p.bits}:$d") {
+      hashRelationOf(embWithNorm(s, d), p)
     }
 
   /** ANN via multi-table LSH with hamming≤1 multi-probe on the QUERY side:
@@ -137,13 +136,14 @@ object VectorOps {
     * (q_id, c_id) → exact cosine re-rank → top-k. No cross join anywhere;
     * the per-query probe fan-out is fixed, so this is shuffle-shaped for
     * 10^9 vectors. */
-  def lshTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def lshTopk(s: SparkSession, d: String, k: Int = 5,
+              p: LshParams = LshParams()): DataFrame = {
     val e = embWithNorm(s, d)
-    val hashes = hashRelation(s, d)
+    val hashes = hashRelation(s, d, p)
     val cand = hashes.select(col("vec_id").as("c_id"), col("tbl"), col("bucket"))
     val probes = hashes.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("tbl"),
-        explode(expr(s"""transform(sequence(0, $BITS), p ->
+        explode(expr(s"""transform(sequence(0, ${p.bits}), p ->
           if(p = 0, bucket, bucket ^ shiftleft(1L, p - 1)))""")).as("bucket"))
     val pairs = probes.join(cand, Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
@@ -169,17 +169,18 @@ object VectorOps {
     * 0.825 with ~25% of the corpus probed — floor 0.7 pinned by
     * AnnRecallSpec. nprobe/K trades recall for probe fraction at any
     * corpus size. */
-  private val IVF_K = 16
-  private val IVF_NPROBE = 4
-  private val IVF_ITERS = 5
-  private val IVF_SAMPLE_CAP = 4096
+  // IVF k/nprobe/iters/sampleCap are IvfParams arguments now (registry
+  // defaults 16/4/5/4096).
 
   /** Deterministic spherical k-means (driver-side Lloyd on the sorted
     * sample; empty clusters keep their centroid; first-max tie-break). */
-  private[queries] def ivfCentroids(e: DataFrame): Seq[Seq[Double]] = {
+  private[queries] def ivfCentroids(e: DataFrame,
+                                    p: IvfParams = IvfParams()): Seq[Seq[Double]] = {
+    val IVF_K = p.k
+    val IVF_ITERS = p.iters
     val sample = e.select(col("vec_id"), col("embedding"))
       .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy("h", "vec_id").limit(IVF_SAMPLE_CAP)
+      .orderBy("h", "vec_id").limit(p.sampleCap)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
@@ -217,36 +218,38 @@ object VectorOps {
     * index amortized over many queries; ann_ivf_topk and ann_ivf_recall
     * stop re-training per invocation). Probing and re-rank stay per-call. */
   private val centsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Double]]()
-  private def centroids(s: SparkSession, d: String): Array[Double] =
-    centsCache.computeIfAbsent((SessionCache.sessionKey(s), d),
-      _ => ivfCentroids(embWithNorm(s, d)).flatten.toArray)
+    new java.util.concurrent.ConcurrentHashMap[(String, String, IvfParams), Array[Double]]()
+  private def centroids(s: SparkSession, d: String, p: IvfParams): Array[Double] =
+    centsCache.computeIfAbsent((SessionCache.sessionKey(s), d, p),
+      _ => ivfCentroids(embWithNorm(s, d), p).flatten.toArray)
 
   /** sims(embedding, centroid_j) for all j — argmax is scale-invariant, so
     * the raw (unnormalized) embedding is used. CentroidSimsExpr is the
     * codegen kernel (same left-to-right fold as the old HOF form). */
-  private def centroidSims(s: SparkSession, d: String): Column =
-    graft.expr.VectorExprs.centroid_sims(col("embedding"), centroids(s, d), DIM, IVF_K)
+  private def centroidSims(s: SparkSession, d: String, p: IvfParams): Column =
+    graft.expr.VectorExprs.centroid_sims(col("embedding"), centroids(s, d, p), DIM, p.k)
 
   /** Inverted lists: narrow (cid, c_id). array_position = first max
     * (deterministic tie-break), 1-based → cid in [0, K). */
-  private def ivfLists(s: SparkSession, d: String): DataFrame =
-    SessionCache.df(s, s"ivf_lists:$d") {
+  private def ivfLists(s: SparkSession, d: String, p: IvfParams): DataFrame =
+    SessionCache.df(s, s"ivf_lists:${p.k}i${p.iters}s${p.sampleCap}:$d") {
       embWithNorm(s, d)
-        .withColumn("sims", centroidSims(s, d))
+        .withColumn("sims", centroidSims(s, d, p))
         .select(col("vec_id").as("c_id"),
           (array_position(col("sims"), array_max(col("sims"))) - 1).cast("int").as("cid"))
     }
 
-  def ivfTopk(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def ivfTopk(s: SparkSession, d: String, k: Int = 5,
+              p: IvfParams = IvfParams()): DataFrame = {
     val e = embWithNorm(s, d)
     val wp = Window.partitionBy("q_id").orderBy(col("sim").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("q_id"), posexplode(centroidSims(s, d)).as(Seq("cid", "sim")))
+      .select(col("vec_id").as("q_id"),
+        posexplode(centroidSims(s, d, p)).as(Seq("cid", "sim")))
       .withColumn("rnk", row_number().over(wp))
-      .filter(col("rnk") <= IVF_NPROBE)
+      .filter(col("rnk") <= p.nprobe)
       .select("q_id", "cid")
-    val pairs = probes.join(ivfLists(s, d), Seq("cid"))
+    val pairs = probes.join(ivfLists(s, d, p), Seq("cid"))
       .filter(col("q_id") =!= col("c_id"))
       .select("q_id", "c_id").distinct()
     rerank(pairs, e, k)
@@ -304,10 +307,11 @@ object VectorOps {
     * so the audit can run the identical pipeline over a planted corpus.
     * `e` must carry (vec_id, embedding, nrm); `hashes` its (vec_id, tbl,
     * bucket) relation. Returns (id_a, id_b, cos), unrounded/unlimited. */
-  private def embedPairsOf(e: DataFrame, hashes: DataFrame, tau: Double): DataFrame = {
+  def embedPairsOf(e: DataFrame, hashes: DataFrame, tau: Double,
+                   pairBucketCap: Int = PAIR_BUCKET_CAP): DataFrame = {
     val small = hashes.select("tbl", "bucket")
       .groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= PAIR_BUCKET_CAP).drop("n")
+      .filter(col("n") <= pairBucketCap).drop("n")
     val capped = hashes.join(small, Seq("tbl", "bucket"), "left_semi")
     val pairs = capped.select(col("vec_id").as("id_a"), col("tbl"), col("bucket"))
       .join(capped.select(col("vec_id").as("id_b"), col("tbl"), col("bucket")),
@@ -326,9 +330,9 @@ object VectorOps {
 
   /** The non-memoized hash relation of an arbitrary vector set (the
     * memoized [[hashRelation]] wraps this for the standard table). */
-  private def hashRelationOf(e: DataFrame): DataFrame =
+  private def hashRelationOf(e: DataFrame, p: LshParams): DataFrame =
     e.withColumn("buckets", graft.expr.VectorExprs.lsh_buckets(
-      col("embedding"), planesFlat, DIM, N_TABLES, BITS))
+      col("embedding"), planesFor(p), DIM, p.nTables, p.bits))
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
 
   private val dedupEmbedCosine = Q.noOracle("dedup_embed_cosine") { (s, d) =>
@@ -365,7 +369,7 @@ object VectorOps {
           .cast("float")).as("embedding"))
     val e2 = base.unionByName(twins)
       .withColumn("nrm", norm(col("embedding"))).filter(col("nrm") > 0)
-    val reported = embedPairsOf(e2, hashRelationOf(e2), 0.3)
+    val reported = embedPairsOf(e2, hashRelationOf(e2, LshParams()), 0.3)
     val plantedFound = reported
       .filter(col("id_b") === col("id_a") + OFFSET)
       .agg(count(lit(1)).as("n_planted_found"))

@@ -23,8 +23,96 @@ import graft.fetch.Fetcher
   * outputs. Orphaned table versions from a killed round are unreferenced
   * and harmless.
   */
-class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = CrawlConfig()) {
+class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = CrawlConfig())
+    extends AutoCloseable {
   private val mapper = new ObjectMapper()
+
+  // ---- single-writer guard -------------------------------------------
+  // The snapshot protocol is single-writer by design (SURVEY §7 scopes out
+  // concurrent-writer semantics); without a guard, two drivers pointed at
+  // one store would silently interleave commits and corrupt the round log.
+  // ADVISORY lock: acquired lazily on the FIRST MUTATING operation
+  // (init/runRounds/gc — readers never lock), held until close(). The lock
+  // file records pid + instance token + a heartbeat timestamp refreshed on
+  // every round commit. Recovery: a holder whose PROCESS is dead
+  // (ProcessHandle) is stale and its lock is stolen with a warning —
+  // kill-recovery needs no manual unlock. Same-process double-open is
+  // caught by a JVM-local registry (two instances share a pid, so
+  // liveness can't distinguish them). Cross-machine deployments (shared
+  // FS, no common pid space) should treat a heartbeat older than several
+  // round times as stale — the timestamp is recorded for exactly that
+  // policy, which is deliberately NOT automated here (a slow round must
+  // never lose its store to an eager second driver).
+  private val canonicalRoot = Paths.get(root).toAbsolutePath.normalize.toString
+  private val lockPath = Paths.get(root, ".writer.lock")
+  private val lockToken = java.util.UUID.randomUUID().toString
+  @volatile private var lockHeld = false
+
+  private def writeLockContent(): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("pid", ProcessHandle.current().pid())
+    n.put("token", lockToken)
+    n.put("heartbeatMs", System.currentTimeMillis())
+    Files.writeString(lockPath, n.toString)
+  }
+
+  /** Refresh the heartbeat timestamp (holder only; cheap tiny write). */
+  private def heartbeat(): Unit = if (lockHeld) writeLockContent()
+
+  private def ensureWriterLock(): Unit = synchronized {
+    if (lockHeld) return
+    val prev = DurableCrawler.heldRoots.putIfAbsent(canonicalRoot, lockToken)
+    if (prev != null && prev != lockToken)
+      throw new IllegalStateException(
+        s"store $root already has a live writer in this process — " +
+          "a snapshot store is single-writer; close() the other DurableCrawler first")
+    try {
+      var acquired = false
+      while (!acquired) {
+        try {
+          Files.createDirectories(Paths.get(root))
+          Files.createFile(lockPath) // atomic fail-if-exists
+          writeLockContent()
+          acquired = true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            val holderPid =
+              try mapper.readTree(Files.readString(lockPath)).get("pid").asLong()
+              catch { case scala.util.control.NonFatal(_) => -1L } // mid-write/torn → treat as live
+            val self = ProcessHandle.current().pid()
+            val holderAlive = holderPid > 0 &&
+              ProcessHandle.of(holderPid).map[Boolean](_.isAlive).orElse(false)
+            // holderPid == self with no registry entry can only be a stale
+            // file from a recycled pid (this process registers BEFORE
+            // creating the file and unregisters only after deleting it).
+            if (holderPid > 0 && (!holderAlive || holderPid == self)) {
+              System.err.println(
+                s"[graft] recovering stale writer lock on $root (dead holder pid=$holderPid)")
+              Files.deleteIfExists(lockPath) // advisory: re-loop re-races createFile
+            } else throw new IllegalStateException(
+              s"store $root is locked by a live writer (pid=$holderPid) — " +
+                "a snapshot store is single-writer; stop the other driver or, if it " +
+                s"crashed without cleanup, remove $lockPath")
+        }
+      }
+      lockHeld = true
+    } catch {
+      case t: Throwable =>
+        DurableCrawler.heldRoots.remove(canonicalRoot, lockToken); throw t
+    }
+  }
+
+  /** Release the writer lock (no-op if never acquired / already closed).
+    * The store handle stays usable for reads after close(). */
+  override def close(): Unit = synchronized {
+    if (lockHeld) {
+      Files.deleteIfExists(lockPath)
+      DurableCrawler.heldRoots.remove(canonicalRoot, lockToken)
+      lockHeld = false
+    }
+  }
+  // ---------------------------------------------------------------------
+
   // The three tables every round anti-joins against are hash-bucketed by
   // urlHash: their committed scans arrive pre-partitioned, so the per-round
   // dedup joins exchange ONLY the small candidate side (see CrawlRound).
@@ -130,6 +218,7 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     * already-initialized root (no-op). */
   def init(seeds: Seq[String], robots: DataFrame): Unit = {
     if (lastCompleteRound.isDefined) return
+    ensureWriterLock()
     val f0 = Robots.filterAllowed(Frontier.fromSeeds(spark, seeds), robots)
     writeEntry(RoundEntry(-1,
       frontierV = frontier.commit(f0),
@@ -166,6 +255,7 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
   def runRounds(untilRound: Int, fetcher: Fetcher, robots: DataFrame,
                 budgets: DataFrame, defaultBudget: Int,
                 failBeforeLogAt: Int = Int.MinValue): Seq[RoundLineage] = {
+    ensureWriterLock()
     val start = lastCompleteRound.getOrElse(
       throw new IllegalStateException("call init() first")) + 1
     val out = Seq.newBuilder[RoundLineage]
@@ -216,6 +306,7 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
         if (r == failBeforeLogAt)
           throw new RuntimeException(s"injected kill before round-$r log commit")
         writeEntry(e)
+        heartbeat() // staleness signal for cross-machine lock policies
         out += res.lineage
       }
       res.unpersistCached()
@@ -266,6 +357,7 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     * window are unaffected (GcSpec). Returns table → versions removed. */
   def gc(keepLastRounds: Int): Map[String, Seq[Long]] = {
     require(keepLastRounds >= 1, s"keepLastRounds must be >= 1, got $keepLastRounds")
+    ensureWriterLock()
     val last = lastCompleteRound.getOrElse(return Map.empty)
     val keepFrom = math.max(-1, last - keepLastRounds + 1)
     val kept = (keepFrom to last).map(entry)
@@ -325,4 +417,14 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     }
 
   def currentState(): CrawlRound.State = stateAt(lastCompleteRound.get)
+}
+
+object DurableCrawler {
+  /** JVM-local registry of store roots with a live writer: pid-liveness
+    * can't tell two writers in the SAME process apart, so same-process
+    * double-open is caught here (root → holder's lock token). Registered
+    * before the lock file is created, removed only after it is deleted,
+    * so a registry miss + our own pid in the file proves a recycled pid. */
+  private[store] val heldRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

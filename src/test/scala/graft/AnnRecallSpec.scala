@@ -41,6 +41,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(perQuery.keySet == (0L until 8L).toSet && perQuery.values.forall(_ == 5))
   }
 
+  test("non-default LSH/IVF parameterizations keep their floors (library surface)") {
+    import graft.queries.{IvfParams, LshParams}
+    // 8 tables × 6 bits: coarser buckets → more candidates → recall must
+    // not drop below the default floor
+    val lsh = VectorOps.recallAt5(
+      VectorOps.lshTopk(spark, sf001, 5, LshParams(nTables = 8, bits = 6)),
+      spark, sf001).collect().map(_.getDouble(1))
+    assert(lsh.length == 8 && lsh.sum / lsh.length >= 0.6,
+      f"lsh 8x6 mean recall@5 = ${lsh.sum / lsh.length}%.3f")
+    // 8 lists, probe 4: half the corpus probed → floor must hold
+    val ivf = VectorOps.recallAt5(
+      VectorOps.ivfTopk(spark, sf001, 5, IvfParams(k = 8, nprobe = 4)),
+      spark, sf001).collect().map(_.getDouble(1))
+    assert(ivf.length == 8 && ivf.sum / ivf.length >= 0.7,
+      f"ivf k=8/nprobe=4 mean recall@5 = ${ivf.sum / ivf.length}%.3f")
+    intercept[IllegalArgumentException] { IvfParams(k = 4, nprobe = 8) }
+  }
+
   test("dedup_embed_cosine is non-vacuous at sf0.01") {
     val q = SparkEntry.registry.find(_.name == "dedup_embed_cosine").get
     val n = q.run(spark, sf001).count()

@@ -15,6 +15,30 @@ class NearDupAuditSpec extends AnyFunSuite {
     row.schema.fieldNames.zip(row.toSeq).toMap
   }
 
+  test("non-default parameterizations keep their floors (the params are a real library surface)") {
+    import graft.queries.{MinHashParams, SimHashParams, TextOps}
+    val dir = "/root/testdata/sf0.001"
+    // K=24 in 6 bands (same 4 rows/band S-curve as the default, longer
+    // signature) — recall/precision floors must hold without recompiling
+    val m = TextOps.minhashAudit(spark, dir, MinHashParams(k = 24, bands = 6)).head()
+    val mm = m.schema.fieldNames.zip(m.toSeq).toMap
+    info(s"minhash k=24/bands=6: $mm")
+    assert(mm("n_true").asInstanceOf[Long] > 0)
+    assert(mm("recall").asInstanceOf[Double] >= 0.6, s"audit: $mm")
+    assert(mm("precision").asInstanceOf[Double] >= 0.8, s"audit: $mm")
+    // 8×8-bit simhash banding is still pigeonhole-complete for hamming ≤ 3
+    // (8 bands > 3) — exactness must survive the band-geometry change
+    val h = TextOps.simhashAudit(spark, dir, SimHashParams(bands = 8)).head()
+    val hm = h.schema.fieldNames.zip(h.toSeq).toMap
+    info(s"simhash bands=8: $hm")
+    assert(hm("n_true").asInstanceOf[Long] > 0)
+    assert(hm("recall").asInstanceOf[Double] == 1.0, s"audit: $hm")
+    assert(hm("precision").asInstanceOf[Double] == 1.0, s"audit: $hm")
+    // illegal parameterizations fail fast at construction
+    intercept[IllegalArgumentException] { MinHashParams(k = 16, bands = 5) }
+    intercept[IllegalArgumentException] { SimHashParams(bands = 4, maxHamming = 4) }
+  }
+
   for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"minhash audit floors at $dir") {
       val m = auditRow("dedup_minhash_audit", dir)

@@ -202,6 +202,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(one.count(_.width > 0) == 20 && one.count(_.sample_rate > 0) == 20)
   }
 
+  test("GIF round-trip: multi-frame decode recovers geometry, EXACT frame count, structural offsets") {
+    for ((w, h, n, seed) <- Seq((16, 8, 1, 1L), (33, 17, 4, 99L), (20, 10, 5, 7L))) {
+      val bytes = Codecs.makeGif(w, h, n, seed)
+      assert(Codecs.isGif(bytes) && !Codecs.isPng(bytes) && !Codecs.isJpeg(bytes))
+      val g = Codecs.decodeGif(bytes)
+      assert(g.width == w && g.height == h && g.nFrames == n)
+      assert(g.frames.forall(f => f.getWidth == w && f.getHeight == h))
+      // frame offsets come from the CONTAINER walk, independently of the
+      // reader: count agrees (decodeGif cross-checks), offsets strictly
+      // increase, and each points at a real image-descriptor byte (0x2C)
+      assert(g.frameOffsets.length == n)
+      assert(g.frameOffsets == g.frameOffsets.sorted.distinct)
+      g.frameOffsets.foreach(o => assert((bytes(o.toInt) & 0xff) == 0x2c,
+        s"offset $o does not point at an image descriptor"))
+      // deterministic: the same args encode to the same bytes → same features
+      assert(java.util.Arrays.equals(bytes, Codecs.makeGif(w, h, n, seed)))
+      assert(Codecs.gifBandFeatures(g, 8).toSeq ==
+        Codecs.gifBandFeatures(Codecs.decodeGif(bytes), 8).toSeq)
+    }
+  }
+
+  test("GIF rows dispatch through the real decoder; truncated GIF falls back per row") {
+    val good = Codecs.makeGif(24, 12, 3, 5L)
+    val rows = Seq(
+      MediaRow(1L, "video", good),
+      MediaRow(2L, "video", good.take(30)), // cut inside the first frame
+      MediaRow(3L, "image", Codecs.makePng(20, 10, 1L))) // sibling path unaffected
+    val out = new JvmCodecDecoder().decodeBatch(rows).sortBy(_.doc_id)
+    assert(out(0).width == 24 && out(0).height == 12 && out(0).n_frames == 3L)
+    assert(out(0).frame_offsets.length == 3 && out(0).embedding.length == 8)
+    assert(out(1).n_frames != 3L, "truncated GIF must fall back")
+    assert(out(2).width == 20 && out(2).height == 10)
+  }
+
   test("mediaFromDocuments maps the documents table into the media schema") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val m = mediaFromDocuments(docs)

@@ -56,6 +56,7 @@ class GcSpec extends AnyFunSuite {
     assert(d.gc(keepLastRounds = 2).values.forall(_.isEmpty))
 
     // a FRESH process over the gc'd store resumes and keeps crawling
+    d.close()
     val d2 = new DurableCrawler(spark, root, CrawlFixture.cfg)
     assert(d2.lastCompleteRound.contains(3))
     val lineages = d2.runRounds(4, fetcher, robots, budgets, default)

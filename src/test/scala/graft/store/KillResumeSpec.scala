@@ -48,6 +48,7 @@ class KillResumeSpec extends AnyFunSuite {
       b1.runRounds(4, fetcher, robots, budgets, default, failBeforeLogAt = 3)
     }
     assert(b1.lastCompleteRound.contains(2), "kill must leave round 2 visible")
+    b1.close() // the "killed" process is gone — release its writer lock
 
     // fresh crawler over the same root = restarted process; resume to 4
     val b2 = new DurableCrawler(spark, rootB, CrawlFixture.cfg)
@@ -100,6 +101,7 @@ class KillResumeSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       b1.runRounds(3, fetcher, robots, budgets, default, failBeforeLogAt = 2)
     }
+    b1.close()
     val b2 = new DurableCrawler(spark, rootB, cfg)
     b2.runRounds(3, fetcher, robots, budgets, default)
 
@@ -118,6 +120,7 @@ class KillResumeSpec extends AnyFunSuite {
     val d = new DurableCrawler(spark, root, CrawlFixture.cfg)
     d.init(seeds, robots)
     d.runRounds(1, fetcher, robots, budgets, default)
+    d.close()
     // Rewrite every round-log entry to the v1 shape: strip the format tag
     // and the failedV/cuckooV fields the old format never wrote.
     val logDir = java.nio.file.Paths.get(root, "roundlog")
