@@ -111,9 +111,19 @@ object CrawlRound {
     r
   }
 
+  /** `fetchSink`: how the fused fetch→extract→links pass MATERIALIZES.
+    * None (default, the in-memory path) persists it to the block store.
+    * The durable path passes the snapshot WRITE itself (commit the full
+    * fetch output to parquet, hand back the committed lazy scan) — so the
+    * round's widest data crosses the box ONCE (the parquet write) instead
+    * of twice (block-store persist + separate pages commit reading it
+    * back). Downstream consumers (status counters, ok/fail hashes, link
+    * expansion) read back column-pruned slices; the wide itemText column
+    * is never re-read by the round itself. */
   def run(spark: SparkSession, state: State, robots: DataFrame,
           budgets: DataFrame, defaultBudget: Int, fetcher: Fetcher,
-          round: Int, cfg: CrawlConfig): Output = {
+          round: Int, cfg: CrawlConfig,
+          fetchSink: Option[DataFrame => DataFrame] = None): Output = {
 
     val (popped0, remaining0) = Frontier.pop(
       state.frontier, budgets, defaultBudget, cfg.saltBuckets)
@@ -156,23 +166,32 @@ object CrawlRound {
     // narrow bookkeeping consumers (okHashes, fail rows, counters) read
     // only the columns they name, never the itemText payload.
     val okRow = col("status") === 200
-    val fetched = fetcher.fetch(popped)
+    val fetchedRaw = fetcher.fetch(popped)
       .select(col("url"), col("urlHash"), col("host"), col("priority"),
         col("depth"), col("round"), col("popRank"), col("status"),
         col("fetchTs"), col("lang"),
         when(okRow, Extractors.extract_10k(col("text"))).as("itemText"),
         when(okRow, Extractors.extract_metrics(col("text"))).as("metrics"),
         when(okRow && col("depth") < cfg.maxDepth,
-          Frontier.extractRawLinks(col("html"))).as("links"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+          Frontier.extractRawLinks(col("html"))).as("links"),
+        // `round` is the entry's ENQUEUE round (an entry can wait several
+        // rounds under budget); `fetchRound` is the round that actually
+        // fetched it — the column round-sliced corpus reads prune on.
+        lit(round).as("fetchRound"))
+    val fetched = fetchSink match {
+      case None       => fetchedRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      case Some(sink) => timed("commitFetch") { sink(fetchedRaw) }
+    }
 
     // One job yields popped+fetched PER PARTITION (the lineage contract):
     // the Fetcher contract is strictly 1:1 per popped url (Fetcher trait
     // scaladoc; asserted in CrawlSpec), so fetched rows = popped rows and
     // counting popped separately would be a second full pass. The groupBy
     // on spark_partition_id replaces the scalar agg — same single job, the
-    // grouped result is #partitions rows collected to the driver. This is
-    // the action that materializes the fused pass above.
+    // grouped result is #partitions rows collected to the driver. Without
+    // a sink this is the action that materializes the fused pass above;
+    // with one, the commit already materialized it and this job reads only
+    // the status column back (a column-pruned KB-scale scan).
     val fetchParts = timed("fetch") {
       fetched.groupBy(spark_partition_id().as("pid"))
         .agg(count(lit(1)).as("n"), count_if(col("status") === 200).as("ok"))
@@ -181,14 +200,11 @@ object CrawlRound {
     val nPopped = fetchParts.map(_._2).sum
     val nFetched = fetchParts.map(_._3).sum
 
-    // `round` is the entry's ENQUEUE round (an entry can wait several
-    // rounds under budget); `fetchRound` is the round that actually
-    // fetched it — the column round-sliced corpus reads prune on
-    // (DurableCrawler.pagesInRounds). itemText/metrics were computed in
-    // the fused pass — this is a pure projection of the cached columns.
+    // itemText/metrics were computed in the fused pass — this is a pure
+    // projection of the materialized columns (cached batches or the
+    // committed scan, depending on fetchSink).
     val pages = fetched
       .filter(col("status") === 200)
-      .withColumn("fetchRound", lit(round))
       .select("url", "urlHash", "host", "depth", "round", "fetchRound",
         "popRank", "status", "fetchTs", "lang", "itemText", "metrics")
 
@@ -465,7 +481,8 @@ object CrawlRound {
         spilled2, frontierSize2, spilledSize2, failedSize2,
         seenSize2, bloomCap2),
       nPopped = nPopped,
-      cached = Seq(popped, remaining, fetched, rawCandidates, newEntries),
+      cached = (if (fetchSink.isEmpty) Seq(fetched) else Nil) ++
+        Seq(popped, remaining, rawCandidates, newEntries),
       mkLineage = mkLineage)
   }
 }

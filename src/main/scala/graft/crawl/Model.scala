@@ -65,6 +65,14 @@ case class CrawlConfig(
       * 10^10 path — shuffle-hash-join the shard table on shardId so each
       * shard's bits travel once to its reducer (Seen.filterNew §4.10). */
     broadcastBloomProbe: Boolean = true,
+    /** true (default): the durable pages commit IS the fused fetch pass's
+      * materializing action — the round's widest data crosses the box once
+      * (the parquet write) and downstream consumers read column-pruned
+      * slices of the committed scan. false: the pre-write-once path
+      * (block-store persist during the fetch wave + a separate pages
+      * commit re-reading it) — kept selectable for A/B measurement and
+      * parity tests; the two paths are byte-identical (KillResumeSpec). */
+    writeOncePages: Boolean = true,
     /** Hash-bucket count for the durable frontier/seen/failed tables
       * (storage-partitioned anti-joins — SnapshotTable bucketKey). At
       * cluster scale set ≈ total executor cores. */

@@ -264,8 +264,25 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     while (r <= untilRound && continue) {
       val prevEntry = entry(r - 1)
       val state = stateAt(r - 1)
+      // WRITE-ONCE materialization of the round's widest data: the pages
+      // snapshot commit IS the fused fetch pass's materializing action
+      // (CrawlRound.fetchSink) — the committed version holds the FULL
+      // fetch output (all statuses + links + priority), downstream round
+      // logic and the corpus read paths consume column-pruned /
+      // status-filtered projections of the committed scan. Before this,
+      // the same bytes crossed the box twice per round: a block-store
+      // persist during the fetch wave, then pages.commit re-reading it.
+      // cfg.writeOncePages = false selects that legacy path (A/B bench +
+      // byte-identical parity pinned in KillResumeSpec).
+      var committedPagesV = -1L
+      val sink: Option[DataFrame => DataFrame] =
+        if (!cfg.writeOncePages) None
+        else Some { df =>
+          committedPagesV = pages.commit(df)
+          pages.read(committedPagesV)
+        }
       val res = CrawlRound.run(spark, state, robots, budgets, defaultBudget,
-        fetcher, r, cfg)
+        fetcher, r, cfg, fetchSink = sink)
       if (res.nPopped == 0) { continue = false }
       else {
         // The seven table commits are independent single-writer snapshots —
@@ -287,13 +304,16 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
           else Future(table.commit(df))
         val spF = res.state.spilled.map(df =>
           commitOrReuse(df, state.spilled.orNull, spilled, prevEntry.spilledV))
+        val pvF: Future[Long] =
+          if (cfg.writeOncePages) Future.successful(committedPagesV)
+          else Future(pages.commit(res.pages)) // legacy: re-read the persist
         val Seq(fv, sv, shv, flv, ckv, pv, lv) = Await.result(Future.sequence(Seq(
           Future(frontier.commit(res.state.frontier)),
           Future(seen.commit(res.state.seenExact)),
           Future(shards.commit(res.state.bloomShards)),
           commitOrReuse(res.state.failed, state.failed, failed, prevEntry.failedV),
           commitOrReuse(res.state.cuckooShards, state.cuckooShards, cuckoo, prevEntry.cuckooV),
-          Future(pages.commit(res.pages)),
+          pvF,
           Future(lineage.commit(lineageDf(res, r))))), Duration.Inf)
         val spv = spF.map(Await.result(_, Duration.Inf)).getOrElse(Long.MinValue)
         val e = RoundEntry(r, frontierV = fv, seenV = sv, shardsV = shv,
@@ -329,12 +349,26 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     * has page versions without it, and a plain union with new-format
     * versions would throw AnalysisException on the first post-upgrade
     * round. A pre-column version is by construction exactly round r's
-    * pages, so the round-log entry's round number IS its fetchRound. */
-  private def pagesOfRound(r: Int): DataFrame = {
-    val df = pages.read(entry(r).pagesV)
-    if (df.columns.contains("fetchRound")) df
-    else df.withColumn("fetchRound", lit(r))
+    * pages, so the round-log entry's round number IS its fetchRound.
+    *
+    * The stored version is the round's FULL fetch log (write-once commit —
+    * all statuses plus the round-internal `links`/`priority`/`popRank`
+    * working columns); `pageView` derives the corpus-facing pages table
+    * from it: status==200 rows, the 12 page columns. Both reductions reach
+    * the parquet scan (pushed status filter, pruned columns), so a corpus
+    * read never pays for the fetch log's extra bytes. Older versions that
+    * stored the filtered projection directly pass through unchanged
+    * (status is all-200 there, and the selected columns are exactly their
+    * schema). */
+  private val PAGE_COLS = Seq("url", "urlHash", "host", "depth", "round",
+    "fetchRound", "popRank", "status", "fetchTs", "lang", "itemText", "metrics")
+  private def pageView(df: DataFrame, r: Int): DataFrame = {
+    val stamped = if (df.columns.contains("fetchRound")) df
+                  else df.withColumn("fetchRound", lit(r))
+    stamped.filter(col("status") === 200).select(PAGE_COLS.map(col): _*)
   }
+  private def pagesOfRound(r: Int): DataFrame =
+    pageView(pages.read(entry(r).pagesV), r)
 
   /** All RETAINED pages up to the last complete round (pages are per-round
     * snapshots; the union is the corpus-crawled table of the retention
@@ -411,8 +445,8 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
         // r ∈ [l, h], so whole-version selection via the round log is the
         // exact slice; stamp the column so the union stays uniform.
         if (pages.schemaAt(v).fieldNames.contains("fetchRound"))
-          pages.readPruned("fetchRound", lo, hi, v)
-        else pages.read(v).withColumn("fetchRound", lit(r))
+          pageView(pages.readPruned("fetchRound", lo, hi, v), r)
+        else pageView(pages.read(v), r)
       }.reduceOption(_ unionByName _)
     }
 

@@ -33,7 +33,8 @@ object CrawlFixture {
     Files.writeString(Paths.get(s"$fixturesDir/robots.json"), robots)
   }
 
-  def runCrawl(spark: org.apache.spark.sql.SparkSession): Crawler.Result = {
+  def runCrawl(spark: org.apache.spark.sql.SparkSession,
+               cfgOverride: CrawlConfig = cfg): Crawler.Result = {
     val corpus = () => {
       import spark.implicits._
       SyntheticCorpus.pages(spark, N_URLS, nHosts = N_HOSTS).toDF()
@@ -42,7 +43,7 @@ object CrawlFixture {
     val (budgets, default) = Robots.loadBudgets(spark, s"$fixturesDir/budgets.json")
     val seeds = Files.readAllLines(Paths.get(s"$fixturesDir/seeds.txt")).asScala.toSeq
     Crawler.run(spark, seeds, new CorpusFetcher(corpus), robots, budgets,
-      default, ROUNDS, cfg)
+      default, ROUNDS, cfgOverride)
   }
 }
 
