@@ -73,6 +73,12 @@ case class CrawlConfig(
       * commit re-reading it) — kept selectable for A/B measurement and
       * parity tests; the two paths are byte-identical (KillResumeSpec). */
     writeOncePages: Boolean = true,
+    /** Parquet codec for the pages table (the store's bulk bytes — state
+      * tables are narrow). None = session default (snappy): fastest wall
+      * on a single box. "zstd" writes ~1.9× fewer bytes at 2–3× encoder
+      * CPU (WriteBench A/B, BENCH/BASELINE.md round 5) — the right
+      * default on a cluster where page bytes hit real storage. */
+    pagesCodec: Option[String] = None,
     /** Hash-bucket count for the durable frontier/seen/failed tables
       * (storage-partitioned anti-joins — SnapshotTable bucketKey). At
       * cluster scale set ≈ total executor cores. */

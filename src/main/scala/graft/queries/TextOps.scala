@@ -138,6 +138,87 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------- repetition signals
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    * distinct-token ratio, top-token fraction, top-bigram fraction. A
+    * high-repetition document (boilerplate, keyword stuffing, scraper
+    * loops) scores low distinct_ratio / high top fractions and gets
+    * filtered before training. Computed via explode + two hash
+    * aggregations (LINEAR in document length — never the per-row
+    * quadratic count-each-distinct-token form), so the same plan holds on
+    * billion-document corpora: narrow explode, groupBy(doc_id, gram),
+    * groupBy(doc_id), one broadcast-sized join back. All counts are exact
+    * integers; ratios round(…,4) on both engines. */
+  private val textRepetition = Q(
+    "text_repetition",
+    """WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      |ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |              CAST(count(*) AS BIGINT) AS n_distinct,
+      |              CAST(max(c) AS BIGINT) AS top_tok FROM tc GROUP BY 1),
+      |bgs AS (SELECT doc_id,
+      |               unnest(list_transform(range(1, len(str_split(text, ' '))),
+      |                 i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1])) AS bg
+      |        FROM documents),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |              CAST(max(c) AS BIGINT) AS top_bg FROM bc GROUP BY 1)
+      |SELECT ua.doc_id, n_tokens, n_distinct,
+      |       round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio,
+      |       round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_token_frac,
+      |       COALESCE(n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(round(CAST(top_bg AS DOUBLE) / n_bigrams, 4), 0.0) AS top_bigram_frac
+      |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
+      |ORDER BY ua.doc_id""".stripMargin) { (s, d) =>
+    val base = documents(s, d).select(col("doc_id"), tokens.as("t"))
+    val uni = base.select(col("doc_id"), explode(col("t")).as("tok"))
+      .groupBy("doc_id", "tok").count()
+      .groupBy("doc_id").agg(
+        sum("count").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("count").as("top_tok"))
+    // sequence(1, 0) in Spark DESCENDS ([1,0]) instead of returning empty
+    // like DuckDB range(1,1) — single-token docs must guard explicitly
+    val bigrams = when(size(col("t")) > 1,
+      transform(sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val big = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg(sum("count").as("n_bigrams"), max("count").as("top_bg"))
+    uni.join(big, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("top_bg").cast("double") / col("n_bigrams"), 4), lit(0.0))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------- deterministic hash sample
+  /** Hash-based deterministic sampling — the scale-safe substitute for
+    * reservoir/random sampling in a training-data pipeline: membership is
+    * a pure function of the key, so the sample is reproducible across
+    * runs, engines, and partitionings, needs no state, and pushes down as
+    * a narrow filter. Rate = 3/16 via the first hex digit of a
+    * namespaced md5 (both engines compute md5 of identical bytes
+    * identically — the minhash_signature trick). */
+  private val sampleHash = Q(
+    "sample_hash",
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    documents(s, d)
+      .filter(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 1)
+        .isin("0", "1", "2"))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- dedup
   private val dedupExact = Q(
     "dedup_exact",
@@ -148,6 +229,63 @@ object TextOps {
       count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies", "text")
       .orderBy("keeper")
+  }
+
+  /** C4-style GLOBAL segment-level dedup (Raffel et al. 2020 §2.2 do it
+    * on three-sentence spans; the word-soup corpus has no sentence marks,
+    * so the span unit is a fixed 10-token window): split every document
+    * into consecutive 10-token segments, keep each distinct segment's
+    * globally FIRST occurrence (min (doc_id, pos) — deterministic), drop
+    * every later copy, and re-assemble the surviving segments in document
+    * order. Output per document: segment counts + the cleaned text.
+    *
+    * Scale shape: posexplode (narrow) → ONE hash aggregation
+    * `groupBy(segment).agg(min(struct(doc_id, pos)))` — the keeper IS the
+    * group row, so no join-back and no per-group sort (beats the
+    * row_number window form, which sorts every segment partition) → one
+    * groupBy(doc_id) re-assembly. Two exchanges total, both on keys that
+    * hash-distribute evenly (segments, doc ids) — the plan a
+    * trillion-segment corpus needs. The oracle states the same semantics
+    * in the clearer row_number form. */
+  private val dedupParagraph = Q(
+    "dedup_paragraph",
+    """WITH l AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |segs AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |                list_aggregate(toks[(i-1)*10+1:i*10], 'string_agg', ' ') AS seg
+      |         FROM l, UNNEST(range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1)) AS t(i)),
+      |kept AS (SELECT doc_id, pos, seg,
+      |                row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+      |         FROM segs),
+      |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY 1),
+      |ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |              string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      |       FROM kept WHERE rn = 1 GROUP BY 1)
+      |SELECT ns.doc_id, ns.n_segs,
+      |       COALESCE(ka.n_kept, 0) AS n_kept,
+      |       COALESCE(ka.clean_text, '') AS clean_text
+      |FROM ns LEFT JOIN ka ON ns.doc_id = ka.doc_id
+      |ORDER BY ns.doc_id""".stripMargin) { (s, d) =>
+    val segLen = 10
+    val t = tokens
+    val segArr = transform(
+      sequence(lit(1L), ceil(size(t) / lit(10.0)).cast("long")),
+      i => concat_ws(" ", slice(t, ((i - 1) * segLen + 1).cast("int"), lit(segLen))))
+    val segs = documents(s, d)
+      .select(col("doc_id"), posexplode(segArr).as(Seq("pos0", "seg")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("seg"))
+    val keepers = segs.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"), col("seg"))
+    val ns = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    val ka = keepers.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+        x => x.getField("seg"))).as("clean_text"))
+    ns.join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
   }
 
   /** Word 3-shingles of a document, with ANSI-safe bounds. */
@@ -746,8 +884,9 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint, fingerprintSignature,
-    dedupExact, dedupNgramJaccard, dedupMinhash, minhashSignature, dedupSimhash,
-    dedupMinhashAudit, dedupSimhashAudit,
+    textRepetition, sampleHash,
+    dedupExact, dedupParagraph, dedupNgramJaccard, dedupMinhash, minhashSignature,
+    dedupSimhash, dedupMinhashAudit, dedupSimhashAudit,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
     multimodalDecode, multimodalDecodeReal, multimodalDecodeImg,
     multimodalDecodeGif)

@@ -129,7 +129,7 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     * cap is configured and spill exists. */
   val spilled = new SnapshotTable(spark, root, "spilled",
     bucketKey = Some("urlHash"), nBuckets = cfg.stateBuckets)
-  val pages = new SnapshotTable(spark, root, "pages")
+  val pages = new SnapshotTable(spark, root, "pages", codec = cfg.pagesCodec)
   val lineage = new SnapshotTable(spark, root, "lineage")
 
   private val logDir = Paths.get(root, "roundlog")

@@ -28,9 +28,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   * move leaves the table at vN-1 with only unreferenced orphan files — a
   * re-run overwrites them; readers never see a torn state.
   */
+/** `codec`: parquet compression for this table's data files (None =
+  * session default, snappy). Measured tradeoff on the crawl-round page
+  * volume (WriteBench, BENCH/BASELINE.md round 5): zstd writes 1.9×
+  * fewer bytes at 2–3× encoder CPU — on a single box whose writes land
+  * in page cache, snappy's wall time wins; on a cluster writing to real
+  * storage where bytes ARE the cost, set zstd. Read side is
+  * self-describing (parquet footer), so the codec can change between
+  * versions of one table freely. */
 class SnapshotTable(spark: SparkSession, root: String, val name: String,
                     val bucketKey: Option[String] = None,
-                    val nBuckets: Int = 32) {
+                    val nBuckets: Int = 32,
+                    val codec: Option[String] = None) {
   private val mapper = new ObjectMapper()
   private val tableDir = Paths.get(root, name)
   private val metaDir = tableDir.resolve("metadata")
@@ -74,13 +83,14 @@ class SnapshotTable(spark: SparkSession, root: String, val name: String,
         // shuffles, to the bucket count. repartition aligns write tasks
         // with buckets (same murmur3 hash) → one file per bucket, and
         // sortBy lets SMJ skip the big-side sort too.
-        df.repartition(nBuckets, df.col(k))
+        val w = df.repartition(nBuckets, df.col(k))
           .write.mode("overwrite")
           .bucketBy(nBuckets, k).sortBy(k)
           .option("path", dataDir.toString)
-          .saveAsTable(tableIdent(v))
+        codec.fold(w)(c => w.option("compression", c)).saveAsTable(tableIdent(v))
       case None =>
-        df.write.mode("overwrite").parquet(dataDir.toString)
+        val w = df.write.mode("overwrite")
+        codec.fold(w)(c => w.option("compression", c)).parquet(dataDir.toString)
     }
 
     val files = Files.list(dataDir).iterator().asScala
