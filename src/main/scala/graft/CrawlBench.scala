@@ -38,12 +38,21 @@ object CrawlBench {
     * thing that scales with cores) dominates fixed stage latency. */
   val FILL_SCALE = 60
 
+  /** `GRAFT_PROBE=partitioned` switches the seen-set dedup to the 10^10
+    * probe regime (`Seen.probePartitioned` — shards shuffle to reducers
+    * instead of broadcasting; ProbeRegimeSpec pins byte-identical crawls),
+    * giving the ladder a datapoint quantifying the regime's per-round
+    * overhead at bench scale. `GRAFT_WRITE_ONCE=0` selects the legacy
+    * persist+commit pages path in durable mode (A/B for the write-once
+    * materialization). */
   def cfg: CrawlConfig = CrawlConfig(
     nShards = 32,
     expectedKeysPerShard = 1L << 17,
     bloomFpp = 0.01,
     saltBuckets = 32,
-    maxDepth = 100)
+    maxDepth = 100,
+    broadcastBloomProbe = !sys.env.get("GRAFT_PROBE").contains("partitioned"),
+    writeOncePages = !sys.env.get("GRAFT_WRITE_ONCE").contains("0"))
 
   def session(cpus: Int): SparkSession =
     SparkSession.builder()
@@ -137,6 +146,42 @@ object CrawlBench {
     times.result()
   }
 
+  /** One DURABLE crawl rep from a fresh store root: every round commits
+    * its snapshots (pages/frontier/seen/…) to parquet and swaps the round
+    * log — the full durability cost is inside the timed span. This is the
+    * A/B surface for the write-once pages materialization
+    * (cfg.writeOncePages via GRAFT_WRITE_ONCE): the in-memory
+    * `timedCrawl` above never writes snapshots, so it cannot see the
+    * difference. One runRounds(r) call per round gives per-round walls. */
+  def timedDurableCrawl(spark: SparkSession, fetcher: Fetcher,
+                        seedUrls: Seq[String], rounds: Int,
+                        budget: Int): Seq[RoundTime] = {
+    val robots = robotsDf(spark)
+    val budgets = {
+      import spark.implicits._
+      Seq.empty[(String, Int)].toDF("host", "budget")
+    }
+    val root = Files.createTempDirectory("graft-bench-durable").toString
+    val d = new graft.store.DurableCrawler(spark, root, cfg)
+    d.init(seedUrls, robots)
+    val times = Seq.newBuilder[RoundTime]
+    var r = 0
+    var continue = true
+    while (r < rounds && continue) {
+      val t0 = System.nanoTime()
+      val ls = d.runRounds(r, fetcher, robots, budgets, budget)
+      if (ls.isEmpty) continue = false
+      else times += RoundTime(r, ls.map(_.popped).sum, (System.nanoTime() - t0) / 1e9)
+      r += 1
+    }
+    d.close()
+    // a bench store is throwaway — reclaim the per-rep parquet tree
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(Paths.get(root)).iterator().asScala.toSeq
+      .reverse.foreach(Files.deleteIfExists(_))
+    times.result()
+  }
+
   case class LevelResult(cpus: Int, urlsPerSec: Double, perRep: Seq[Double],
                          popped: Long, roundsMeasured: Int)
 
@@ -158,8 +203,10 @@ object CrawlBench {
         else new GenerativeFetcher(nUrls, SEED, N_HOSTS, FANOUT, FILL_SCALE)
       val seedUrls = seeds(nUrls)
       val budget = ((nUrls / N_HOSTS) / 2).max(8L).toInt
+      val durable = sys.env.get("GRAFT_DURABLE").contains("1")
       val repRuns = (1 to reps).map { _ =>
-        val ts = timedCrawl(spark, fetcher, seedUrls, rounds, budget)
+        val ts = if (durable) timedDurableCrawl(spark, fetcher, seedUrls, rounds, budget)
+                 else timedCrawl(spark, fetcher, seedUrls, rounds, budget)
         ts.filter(_.round >= 1) // round 0 = warmup, discarded
       }
       // Median of PER-ROUND throughput samples: this sandbox is a shared
@@ -186,9 +233,13 @@ object CrawlBench {
     val outJson = if (args.length > 4) Some(args(4)) else None
 
     val r = runLevel(cpus, nUrls, rounds, reps)
+    val mode =
+      (if (sys.env.get("GRAFT_DURABLE").contains("1")) "durable" else "inmem") +
+        (if (sys.env.get("GRAFT_PROBE").contains("partitioned")) "+partitionedProbe" else "") +
+        (if (sys.env.get("GRAFT_WRITE_ONCE").contains("0")) "+legacyPages" else "")
     val json =
       s"""{"metric":"crawl_urls_per_sec","cpus":${r.cpus},"value":${r.urlsPerSec},""" +
-        s""""unit":"urls/sec","nUrls":$nUrls,"rounds":$rounds,"reps":${r.perRep.mkString("[", ",", "]")},""" +
+        s""""unit":"urls/sec","mode":"$mode","nUrls":$nUrls,"rounds":$rounds,"reps":${r.perRep.mkString("[", ",", "]")},""" +
         s""""poppedMeasured":${r.popped},"roundsMeasured":${r.roundsMeasured}}"""
     println(json)
     outJson.foreach(p => Files.writeString(Paths.get(p), json + "\n"))
