@@ -146,21 +146,27 @@ object Crawler {
       if (out.nPopped == 0) {
         continue = false // frontier drained
       } else {
-        // One concurrent wave: pages/pop checkpoints, the state
-        // checkpoints (internally concurrent), and the round's single
-        // deferred lineage job — all independent actions over the round's
-        // persisted intermediates. Serializing them would re-add the
-        // per-round driver fixed cost the scaling bench exposes.
+        // One concurrent wave: pages/pop checkpoints and the state
+        // checkpoints (internally concurrent) — all independent actions
+        // over the round's persisted intermediates. Serializing them would
+        // re-add the per-round driver fixed cost the scaling bench
+        // exposes. The lineage job runs AFTER the state checkpoint, not
+        // concurrently with it: both force the expansion/dedup chain
+        // through the same unmaterialized persists, and concurrent jobs
+        // duplicate in-flight computation of a cached partition — after
+        // the frontier checkpoint populates the caches, the lineage pass
+        // is two narrow cached-scan aggregations (it still overlaps the
+        // pages/pop checkpoint tails).
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import DriverWaves.ec
-        val lineageF = Future(out.lineage)
         val pagesF = Future(out.pages.localCheckpoint(true))
         val popF = Future(out.popped
           .select(lit(r).as("popRound"), col("host"), col("popRank"),
             col("url"), col("urlHash"), col("priority"), col("depth"))
           .localCheckpoint(true))
         state = Crawler.checkpointState(out.state, Some(state))
+        val lineageF = Future(out.lineage)
         pagesAcc += Await.result(pagesF, Duration.Inf)
         popAcc += Await.result(popF, Duration.Inf)
         lineages += Await.result(lineageF, Duration.Inf)

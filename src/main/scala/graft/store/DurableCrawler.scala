@@ -307,14 +307,26 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
         val pvF: Future[Long] =
           if (cfg.writeOncePages) Future.successful(committedPagesV)
           else Future(pages.commit(res.pages)) // legacy: re-read the persist
-        val Seq(fv, sv, shv, flv, ckv, pv, lv) = Await.result(Future.sequence(Seq(
-          Future(frontier.commit(res.state.frontier)),
+        // The lineage job CHAINS AFTER the frontier commit instead of
+        // racing it: both force the round's expansion/dedup chain through
+        // the same unmaterialized persists, and Spark does not coordinate
+        // duplicate in-flight computation of a cached partition across
+        // concurrent jobs — launched together, the two jobs each computed
+        // the full chain (measured ~3–3.6 s/round for lineage at 4–16
+        // cores, scaling 1.19×). Sequenced, the frontier commit populates
+        // the rawCandidates/newEntries caches and the lineage pass is two
+        // narrow cached-scan aggregations. Still fully inside the commit
+        // wave — the other table commits overlap the chain.
+        val fvF = Future(frontier.commit(res.state.frontier))
+        val lvF = fvF.map(_ => lineage.commit(lineageDf(res, r)))
+        val Seq(sv, shv, flv, ckv, pv) = Await.result(Future.sequence(Seq(
           Future(seen.commit(res.state.seenExact)),
           Future(shards.commit(res.state.bloomShards)),
           commitOrReuse(res.state.failed, state.failed, failed, prevEntry.failedV),
           commitOrReuse(res.state.cuckooShards, state.cuckooShards, cuckoo, prevEntry.cuckooV),
-          pvF,
-          Future(lineage.commit(lineageDf(res, r))))), Duration.Inf)
+          pvF)), Duration.Inf)
+        val fv = Await.result(fvF, Duration.Inf)
+        val lv = Await.result(lvF, Duration.Inf)
         val spv = spF.map(Await.result(_, Duration.Inf)).getOrElse(Long.MinValue)
         val e = RoundEntry(r, frontierV = fv, seenV = sv, shardsV = shv,
           failedV = flv, cuckooV = ckv, pagesV = pv, lineageV = lv,
