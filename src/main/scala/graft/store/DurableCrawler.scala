@@ -193,7 +193,15 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     if (e.failedSize >= 0) node.put("failedSize", e.failedSize)
     if (e.seenSize >= 0) node.put("seenSize", e.seenSize)
     if (e.bloomKeysPerShard >= 0) node.put("bloomKeysPerShard", e.bloomKeysPerShard)
-    Files.writeString(logDir.resolve(s"round-${e.round}.json"), node.toString)
+    // Entry writes are ATOMIC (temp + rename): `refresh` REWRITES the
+    // current round's entry while the pointer already references it, so a
+    // torn write would corrupt the visible state (for a brand-new round
+    // the pointer swap below is the linearization point and a torn entry
+    // file would merely be overwritten by the re-run).
+    val etmp = logDir.resolve(s".round-${e.round}.json.tmp")
+    Files.writeString(etmp, node.toString)
+    Files.move(etmp, logDir.resolve(s"round-${e.round}.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp = logDir.resolve(s".current.tmp.${e.round}")
     Files.writeString(tmp, e.round.toString)
     Files.move(tmp, logPointer, StandardCopyOption.ATOMIC_MOVE,
@@ -345,6 +353,41 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
       r += 1
     }
     out.result()
+  }
+
+  /** RECRAWL (freshness refresh): re-enqueue every RETAINED page whose
+    * latest fetch is ≤ `maxFetchRound` at `priority` (semantics + scale
+    * shape in `Crawler.refreshEntries`), committing the augmented
+    * frontier and atomically REWRITING the current round's log entry to
+    * reference it — the next `runRounds` call pops the refreshed urls in
+    * the normal deterministic order. Crash-safe: the frontier version
+    * commits first; a kill before the entry rewrite leaves the store
+    * exactly as before (orphan version, unreferenced). Pages older than
+    * the gc retention are not visible to refresh — by design, a freshness
+    * policy reads the live corpus. Returns the number of urls
+    * re-enqueued. */
+  def refresh(maxFetchRound: Int, priority: Double): Long = {
+    ensureWriterLock()
+    val last = lastCompleteRound.getOrElse(
+      throw new IllegalStateException("call init() first"))
+    require(last >= 0, "refresh needs at least one crawled round")
+    val e = entry(last)
+    val st = stateAt(last)
+    val pagesAll = allPages().getOrElse(return 0L)
+    val entries = Crawler.refreshEntries(pagesAll,
+      Seq(st.frontier) ++ st.spilled.toSeq, maxFetchRound, last + 1, priority)
+      .persist()
+    try {
+      val n = entries.count() // refresh is a rare op; one small job keeps
+                              // frontierSize exact through the rewrite
+      if (n > 0) {
+        val fv = frontier.commit(st.frontier.unionByName(entries))
+        writeEntry(e.copy(frontierV = fv,
+          frontierSize = if (e.frontierSize >= 0) e.frontierSize + n else -1L))
+        heartbeat()
+      }
+      n
+    } finally entries.unpersist()
   }
 
   /** Oldest round whose log entry is still on disk — gc() trims older
