@@ -101,6 +101,14 @@ object Bench {
         } else ""
       }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$crawlJson}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$crawlJson}"""
+    println(line)
+    // stdout travels through sbt's log manager, which truncates lines at
+    // ~2.5 KB — the per-query section of a 78-query registry does not fit.
+    // Mirror the untruncated line to a file (BENCH_rN.json consumers that
+    // read stdout still get the total + leading queries).
+    val out = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH/last_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Throwable => () }
   }
 }

@@ -219,6 +219,111 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------- PII redaction
+  /** PII redaction — the standard pre-training scrub (C4 strips bad-word
+    * pages; Dolma/RefinedWeb-style pipelines replace emails / phone
+    * numbers / IP addresses with sentinel tokens). The corpus text is
+    * digit-free word soup, so the query WEAVES deterministic PII into each
+    * document from doc_id (the generation-formula oracle pattern of
+    * `multimodal_decode_img`: both engines derive the identical dirty text
+    * from doc_id via md5/lpad, then both must redact it identically),
+    * counts each PII class on the dirty text, and emits the fully
+    * redacted text. Redaction order is email → IP → phone so the IP rule
+    * never fires inside an un-redacted email domain. Patterns use only
+    * class/bound/anchor constructs with identical semantics in Java
+    * regex (Spark) and RE2 (DuckDB) — no backreferences or lookaround.
+    *
+    * Scale shape: narrow per-row expression chain, whole-stage codegen,
+    * nothing shuffles until the final presentation sort. */
+  private val PII_EMAIL = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val PII_IP    = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PII_PHONE = """\b\d{3}-\d{4}\b"""
+
+  private val textPiiRedact = Q(
+    "text_pii_redact",
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |         'contact ' || substr(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 8)
+       |         || '@mail-' || CAST(doc_id % 97 AS VARCHAR) || '.com call 555-'
+       |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
+       |         || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+       |         || ' ' || text AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$PII_EMAIL')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(t, '$PII_PHONE')) AS BIGINT) AS n_phone,
+       |       CAST(len(regexp_extract_all(t, '$PII_IP')) AS BIGINT) AS n_ip,
+       |       regexp_replace(regexp_replace(regexp_replace(t,
+       |         '$PII_EMAIL', '<EMAIL>', 'g'),
+       |         '$PII_IP', '<IP>', 'g'),
+       |         '$PII_PHONE', '<PHONE>', 'g') AS redacted
+       |FROM dirty ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dirty = concat(
+      lit("contact "),
+      substring(md5(concat(lit("pii:"), col("doc_id").cast("string"))), 1, 8),
+      lit("@mail-"), (col("doc_id") % 97).cast("string"), lit(".com call 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" from 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" "), col("text"))
+    documents(s, d).select(col("doc_id"), dirty.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(PII_EMAIL), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("t"), lit(PII_PHONE), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all(col("t"), lit(PII_IP), lit(0))).cast("long").as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("t"), PII_EMAIL, "<EMAIL>"),
+            PII_IP, "<IP>"),
+          PII_PHONE, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------- decontamination
+  /** Train/eval DECONTAMINATION (Brown et al. 2020, appendix C; standard
+    * in every serious pre-training pipeline): flag training documents
+    * sharing any length-N token n-gram with a held-out evaluation set, so
+    * benchmark text can be removed from the training corpus. Here the
+    * eval set is the deterministic slice doc_id % 20 == 0 (GPT-3 uses
+    * 13-grams; N = 8 fits the synthetic corpus's near-dup run lengths so
+    * the fixture exercises real hits). Output: each contaminated training
+    * doc with its count of distinct overlapping grams.
+    *
+    * Scale shape: the eval side is tiny by construction (a benchmark, not
+    * a corpus) — its distinct grams BROADCAST; the training side is one
+    * narrow (doc_id, gram) explode probed map-side, then one hash agg per
+    * contaminated doc. No shuffle touches the full corpus width, the same
+    * plan at 10^9 docs. At a truly huge eval set the broadcast degrades
+    * to an equi-join on the gram — the code path is the same join. */
+  private val DECON_N = 8
+  private val DECON_EVAL_MOD = 20
+
+  private val decontaminate = Q(
+    "decontaminate",
+    s"""WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+       |grams AS (SELECT doc_id, list_aggregate(tk[i:i+${DECON_N - 1}], 'string_agg', ' ') AS g
+       |          FROM toks, UNNEST(range(1, len(tk) - ${DECON_N - 2})) AS t(i)),
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $DECON_EVAL_MOD = 0)
+       |SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_overlap
+       |FROM grams g JOIN ev ON g.g = ev.g
+       |WHERE g.doc_id % $DECON_EVAL_MOD <> 0
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, d) =>
+    val tk = tokens
+    // sequence(1, 0) DESCENDS in Spark (vs DuckDB range(1,1) = empty):
+    // short docs need the explicit guard, as in text_repetition
+    val grams = when(size(tk) >= DECON_N,
+        transform(sequence(lit(1), size(tk) - (DECON_N - 1)),
+          i => concat_ws(" ", slice(tk, i, lit(DECON_N)))))
+      .otherwise(array().cast("array<string>"))
+    val g = documents(s, d).select(col("doc_id"), explode(grams).as("g"))
+    val ev = g.filter(col("doc_id") % DECON_EVAL_MOD === 0).select("g").distinct()
+    g.filter(col("doc_id") % DECON_EVAL_MOD =!= 0)
+      .join(broadcast(ev), Seq("g"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n_overlap"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------- dedup
   private val dedupExact = Q(
     "dedup_exact",
@@ -884,7 +989,7 @@ object TextOps {
 
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint, fingerprintSignature,
-    textRepetition, sampleHash,
+    textRepetition, sampleHash, textPiiRedact, decontaminate,
     dedupExact, dedupParagraph, dedupNgramJaccard, dedupMinhash, minhashSignature,
     dedupSimhash, dedupMinhashAudit, dedupSimhashAudit,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
