@@ -540,6 +540,75 @@ object Relational {
       .limit(100)
   }
 
+  /** E5 — link-graph PageRank, the canonical crawl-priority signal
+    * (Page et al. 1999; what a production frontier feeds its priority
+    * column from). The test tables carry no link graph, so one is
+    * synthesized deterministically from doc_id (the parse_url_host
+    * pattern): every doc links to (m·id² + c) mod N for three (m, c)
+    * pairs — quadratic maps are non-bijective, so in-degrees are
+    * irregular and the stationary distribution is non-uniform (affine
+    * maps with gcd(m, N) = 1 are permutations and PageRank degenerates
+    * to exactly uniform). Uniform out-degree 3 ⇒ no dangling mass.
+    * Three power iterations, damping 0.85, unrolled identically in both
+    * engines; ranks are scaled by N (≈ 1.0) and rounded to 6 dp to
+    * absorb cross-engine summation-order noise (true drift ≤ ~1e-13).
+    *
+    * Scale shape: each iteration is ONE equi-shuffle of the narrow
+    * (src, dst) edge list against the narrow (id, rank) vector plus ONE
+    * hash re-aggregation on dst — the Pregel/GraphX plan. N arrives by
+    * broadcasting a 1-row aggregate (never a driver collect). At a real
+    * 10^10-edge graph the edge list comes from the crawl store bucketed
+    * by src (co-partitioned join, no big-side exchange) and ranks
+    * localCheckpoint every few iterations to truncate lineage. */
+  private val linkPagerank = Q(
+    "link_pagerank",
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |nodes AS (SELECT doc_id FROM documents),
+      |edges AS (SELECT doc_id AS src, (m * doc_id * doc_id + c) % (SELECT n FROM nn) AS dst
+      |          FROM nodes, (VALUES (1, 1), (3, 7), (5, 11)) AS t(m, c)),
+      |r0 AS (SELECT doc_id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes),
+      |r1 AS (SELECT nodes.doc_id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |              + CAST(0.85 AS DOUBLE) * COALESCE(c.s, 0) AS r
+      |       FROM nodes LEFT JOIN (SELECT e.dst AS doc_id, sum(p.r / 3) AS s
+      |                             FROM edges e JOIN r0 p ON e.src = p.doc_id
+      |                             GROUP BY 1) c USING (doc_id)),
+      |r2 AS (SELECT nodes.doc_id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |              + CAST(0.85 AS DOUBLE) * COALESCE(c.s, 0) AS r
+      |       FROM nodes LEFT JOIN (SELECT e.dst AS doc_id, sum(p.r / 3) AS s
+      |                             FROM edges e JOIN r1 p ON e.src = p.doc_id
+      |                             GROUP BY 1) c USING (doc_id)),
+      |r3 AS (SELECT nodes.doc_id, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+      |              + CAST(0.85 AS DOUBLE) * COALESCE(c.s, 0) AS r
+      |       FROM nodes LEFT JOIN (SELECT e.dst AS doc_id, sum(p.r / 3) AS s
+      |                             FROM edges e JOIN r2 p ON e.src = p.doc_id
+      |                             GROUP BY 1) c USING (doc_id))
+      |SELECT doc_id, round(r * (SELECT n FROM nn), 6) AS pr
+      |FROM r3 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val nodes = documents(s, d).select(col("doc_id"))
+    val withN = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).cast("long").as("n"))))
+    val sq = col("doc_id") * col("doc_id")
+    val edges = withN.select(
+      col("doc_id").as("src"),
+      explode(array(
+        (sq * 1 + 1) % col("n"),
+        (sq * 3 + 7) % col("n"),
+        (sq * 5 + 11) % col("n"))).as("dst"))
+    var ranks = withN.select(col("doc_id"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+        .groupBy("dst").agg(sum(col("r") / 3).as("s"))
+      ranks = withN
+        .join(contribs, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          (lit(0.15) / col("n") + lit(0.85) * coalesce(col("s"), lit(0.0))).as("r"))
+    }
+    ranks
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).cast("long").as("n2"))))
+      .select(col("doc_id"), round(col("r") * col("n2"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     scanParquet, filterPushdown, projectPrune,
     aggSegmentation, aggCountByKey, aggDistinct, aggApproxDistinct,
@@ -550,5 +619,6 @@ object Relational {
     windowTumbling, sortGlobal, topkLimit, topkSplitHistogram,
     setopUnion, setopExcept,
     scalarString, scalarRegex, scalarDate, scalarMath, scalarArray,
-    scalarMap, scalarJson, scalarCond, hash64, parseUrlHost, explodeLinks)
+    scalarMap, scalarJson, scalarCond, hash64, parseUrlHost, explodeLinks,
+    linkPagerank)
 }
