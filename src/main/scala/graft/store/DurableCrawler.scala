@@ -506,6 +506,60 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     }
 
   def currentState(): CrawlRound.State = stateAt(lastCompleteRound.get)
+
+  /** The persisted web graph as (src, dst) urlHash edges — derived lazily
+    * from the retained page versions that carry the `links` column (every
+    * write-once round; legacy filtered-projection versions stored no links
+    * and contribute no edges). None when no retained version has links. */
+  def linkEdges(): Option[DataFrame] =
+    lastCompleteRound.filter(_ >= 0).flatMap { last =>
+      (math.max(0, oldestRetainedRound.get) to last).flatMap { r =>
+        val v = entry(r).pagesV
+        if (pages.schemaAt(v).fieldNames.contains("links"))
+          Some(LinkGraph.edges(pages.read(v)))
+        else None
+      }.reduceOption(_ unionByName _)
+    }
+
+  /** PageRank over the persisted web graph (LinkGraph.pageRank — full
+    * dangling-mass redistribution, Σ pr = 1). None when the store has no
+    * link-carrying page versions. */
+  def pageRank(iters: Int = 3, damping: Double = 0.85): Option[DataFrame] =
+    linkEdges().map(e => LinkGraph.pageRank(spark, e, iters, damping))
+
+  /** Re-prioritize the WAITING frontier from the web graph: every frontier
+    * entry's priority becomes its PageRank (an unranked url — possible
+    * only for never-linked seeds — floors at 0.0), committing the new
+    * frontier version and atomically rewriting the current round's entry,
+    * exactly like `refresh`. The next `runRounds` pops link-importance
+    * order instead of the synthetic base priority — the OPIC-style
+    * priority feedback loop a production crawler runs between crawl
+    * waves. Crash-safe for the same reason as refresh (entry rewrite is
+    * the linearization point). Returns the number of frontier entries
+    * that received a graph rank. */
+  def reprioritizeByRank(iters: Int = 3, damping: Double = 0.85): Long = {
+    ensureWriterLock()
+    val last = lastCompleteRound.getOrElse(
+      throw new IllegalStateException("call init() first"))
+    require(last >= 0, "reprioritizeByRank needs at least one crawled round")
+    val ranks = pageRank(iters, damping).getOrElse(return 0L)
+      .withColumnRenamed("id", "urlHash")
+    val e = entry(last)
+    val st = stateAt(last)
+    def ranked(df: DataFrame): DataFrame = df
+      .join(ranks, Seq("urlHash"), "left")
+      .withColumn("priority", coalesce(col("pr"), lit(0.0)))
+      .select("url", "urlHash", "host", "priority", "depth", "round")
+    val fv = frontier.commit(ranked(st.frontier))
+    // A capped crawl's spill must move to the SAME priority scale, or the
+    // next compaction re-splits active ∪ spill across two incomparable
+    // scales and the "active = global top-cap" invariant silently breaks.
+    val spv = st.spilled.map(sp => spilled.commit(ranked(sp)))
+    writeEntry(e.copy(frontierV = fv,
+      spilledV = spv.getOrElse(e.spilledV)))
+    heartbeat()
+    st.frontier.join(ranks, Seq("urlHash"), "left_semi").count()
+  }
 }
 
 object DurableCrawler {
