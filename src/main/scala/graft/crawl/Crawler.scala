@@ -156,13 +156,22 @@ object Crawler {
       .filter(col("lastFetch") <= maxFetchRound)
       .select(col("k.url").as("url"), col("urlHash"),
         col("k.host").as("host"), col("k.depth").as("depth"))
-    frontierMembers.foldLeft(latest) { (df, m) =>
+    shapeReenqueue(latest, frontierMembers, nextRound, priority)
+  }
+
+  /** Shared re-enqueue shaping: `due` rows (url, urlHash, host, depth)
+    * not already waiting in a frontier member become frontier entries at
+    * `priority` for `nextRound` — the tail of both refresh policies
+    * (staleness-cutoff `refreshEntries` and the change-rate policy in
+    * `DurableCrawler.refreshAdaptive`). */
+  def shapeReenqueue(due: DataFrame, frontierMembers: Seq[DataFrame],
+                     nextRound: Int, priority: Double): DataFrame =
+    frontierMembers.foldLeft(due) { (df, m) =>
         df.join(m.select("urlHash"), Seq("urlHash"), "left_anti")
       }
       .select(col("url"), col("urlHash"), col("host"),
         lit(priority).as("priority"), col("depth"),
         lit(nextRound).as("round"))
-  }
 
   /** In-memory recrawl: re-enqueue pages whose latest fetch is ≤
     * `maxFetchRound` (see `refreshEntries`). Returns the state with the

@@ -371,12 +371,62 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     val last = lastCompleteRound.getOrElse(
       throw new IllegalStateException("call init() first"))
     require(last >= 0, "refresh needs at least one crawled round")
-    val e = entry(last)
     val st = stateAt(last)
     val pagesAll = allPages().getOrElse(return 0L)
-    val entries = Crawler.refreshEntries(pagesAll,
-      Seq(st.frontier) ++ st.spilled.toSeq, maxFetchRound, last + 1, priority)
-      .persist()
+    enqueueEntries(last, st, Crawler.refreshEntries(pagesAll,
+      Seq(st.frontier) ++ st.spilled.toSeq, maxFetchRound, last + 1, priority))
+  }
+
+  /** ADAPTIVE recrawl — the change-rate freshness policy (Cho &
+    * Garcia-Molina, TODS 2003: refresh proportionally to each page's
+    * observed change rate, not on a fixed clock). From the retained fetch
+    * history, per url: firstFetch, lastFetch, and nContent = distinct
+    * itemText hashes across its fetches. A url with nContent > 1 changed
+    * at least nContent − 1 times over (lastFetch − firstFetch) rounds, so
+    * its estimated change interval is (lastFetch − firstFetch) /
+    * (nContent − 1); it is DUE when the rounds since its last fetch reach
+    * that interval — evaluated by exact cross-multiplication, no float:
+    *
+    *   (now − lastFetch) · (nContent − 1) ≥ lastFetch − firstFetch
+    *
+    * Never-observed-to-change urls (nContent = 1, including every
+    * single-fetch url) are never due here — they refresh via the plain
+    * staleness cutoff `refresh`. Same commit/rewrite machinery, same
+    * scale shape (ONE hash agg over the page log — the content hash rides
+    * the same aggregation; anti-joins against the bucketed frontier).
+    * Returns the number of urls re-enqueued at `priority`. */
+  def refreshAdaptive(priority: Double): Long = {
+    ensureWriterLock()
+    val last = lastCompleteRound.getOrElse(
+      throw new IllegalStateException("call init() first"))
+    require(last >= 0, "refreshAdaptive needs at least one crawled round")
+    val st = stateAt(last)
+    val pagesAll = allPages().getOrElse(return 0L)
+    val now = last + 1
+    val due = pagesAll
+      .groupBy("urlHash")
+      .agg(
+        max("fetchRound").as("lastFetch"),
+        min("fetchRound").as("firstFetch"),
+        countDistinct(xxhash64(col("itemText"))).as("nContent"),
+        max_by(struct(col("url"), col("host"), col("depth")), col("fetchRound")).as("k"))
+      .filter(col("nContent") > 1 &&
+        (lit(now) - col("lastFetch")) * (col("nContent") - 1)
+          >= col("lastFetch") - col("firstFetch"))
+      .select(col("k.url").as("url"), col("urlHash"),
+        col("k.host").as("host"), col("k.depth").as("depth"))
+    enqueueEntries(last, st, Crawler.shapeReenqueue(due,
+      Seq(st.frontier) ++ st.spilled.toSeq, now, priority))
+  }
+
+  /** Commit-and-rewrite tail shared by the refresh policies: union the
+    * entries into the current frontier, commit the version, atomically
+    * rewrite the current round's entry. A kill before the rewrite leaves
+    * the store untouched (orphan version). */
+  private def enqueueEntries(last: Int, st: CrawlRound.State,
+                             entriesRaw: DataFrame): Long = {
+    val e = entry(last)
+    val entries = entriesRaw.persist()
     try {
       val n = entries.count() // refresh is a rare op; one small job keeps
                               // frontierSize exact through the rewrite
