@@ -59,6 +59,71 @@ object Robots {
     explicit.unionByName(derived)
   }
 
+  /** REAL robots.txt parsing — (host, body) rows → the same rules schema
+    * `load` produces from JSON, plus the host's `Sitemap:` urls. Standard
+    * semantics, scoped to the `*` agent group: a group is one or more
+    * consecutive `User-agent:` lines followed by its rules; rules from
+    * every group naming `*` apply; `Crawl-delay` is seconds (fractions
+    * allowed) → crawlDelayMs; `Sitemap:` is global per the spec (collected
+    * regardless of group). Comments (`#`) and blank lines are stripped;
+    * directive names are case-insensitive; empty `Disallow:` (= allow all)
+    * contributes no prefix.
+    *
+    * Shape: a per-row pure parse (typed Dataset map, no shuffle) — robots
+    * bodies are KB-scale config text parsed once per host per refresh, not
+    * a hot path; the result is the same broadcast dimension as `load`. */
+  def parseRobotsTxt(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("host").cast("string"), col("body").cast("string"))
+      .as[(String, String)]
+      .map { case (host, body) =>
+        val (al, dis, delay, maps) = parseRobotsBody(body)
+        (host, al, dis, delay, maps)
+      }
+      .toDF("host", "allow", "disallow", "crawlDelayMs", "sitemaps")
+  }
+
+  /** The pure per-host parse behind [[parseRobotsTxt]]. */
+  private[crawl] def parseRobotsBody(
+      body: String): (Seq[String], Seq[String], Long, Seq[String]) = {
+    val allow = Seq.newBuilder[String]
+    val disallow = Seq.newBuilder[String]
+    val sitemaps = Seq.newBuilder[String]
+    var delayMs = 0L
+    var agents: List[String] = Nil   // agent lines of the OPEN group header
+    var starGroup = false            // current group applies to *
+    var inHeader = true              // still collecting User-agent lines
+    for (raw <- Option(body).getOrElse("").linesIterator) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line.split(":", 2) match {
+        case Array(k, v) =>
+          val key = k.trim.toLowerCase
+          val value = v.trim
+          key match {
+            case "user-agent" =>
+              if (!inHeader) { agents = Nil; starGroup = false; inHeader = true }
+              agents ::= value
+              starGroup = starGroup || value == "*"
+            case "sitemap" =>
+              if (value.nonEmpty) sitemaps += value // global directive
+            case _ =>
+              inHeader = false
+              if (starGroup) key match {
+                case "allow"    => if (value.nonEmpty) allow += value
+                case "disallow" => if (value.nonEmpty) disallow += value
+                case "crawl-delay" =>
+                  delayMs = math.max(delayMs,
+                    try math.round(value.toDouble * 1000) catch { case _: NumberFormatException => 0L })
+                case _ => () // unknown directive: ignored per spec
+              }
+          }
+        case _ => () // not a directive line
+      }
+    }
+    (allow.result(), disallow.result(), delayMs, sitemaps.result())
+  }
+
   /** Keep only rows whose URL path is allowed by the host's rules:
     * disallowed iff some disallow prefix matches and no allow prefix
     * rescues it. Hosts with no rules are allowed. The join is an explicit
