@@ -178,7 +178,12 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
         if (n.has("bloomKeysPerShard")) n.get("bloomKeysPerShard").asLong() else -1L)
   }
 
-  private def writeEntry(e: RoundEntry): Unit = {
+  /** Atomic entry-file write WITHOUT the pointer swap — `compactPages`
+    * rewrites HISTORICAL entries, which must never move `current`
+    * backwards. Entry writes are ATOMIC (temp + rename): refresh /
+    * compaction REWRITE entries the pointer (transitively) references, so
+    * a torn write would corrupt the visible state. */
+  private def writeEntryFile(e: RoundEntry): Unit = {
     Files.createDirectories(logDir)
     val node = mapper.createObjectNode()
     node.put("format", FORMAT_VERSION)
@@ -193,15 +198,14 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     if (e.failedSize >= 0) node.put("failedSize", e.failedSize)
     if (e.seenSize >= 0) node.put("seenSize", e.seenSize)
     if (e.bloomKeysPerShard >= 0) node.put("bloomKeysPerShard", e.bloomKeysPerShard)
-    // Entry writes are ATOMIC (temp + rename): `refresh` REWRITES the
-    // current round's entry while the pointer already references it, so a
-    // torn write would corrupt the visible state (for a brand-new round
-    // the pointer swap below is the linearization point and a torn entry
-    // file would merely be overwritten by the re-run).
     val etmp = logDir.resolve(s".round-${e.round}.json.tmp")
     Files.writeString(etmp, node.toString)
     Files.move(etmp, logDir.resolve(s"round-${e.round}.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeEntry(e: RoundEntry): Unit = {
+    writeEntryFile(e)
     val tmp = logDir.resolve(s".current.tmp.${e.round}")
     Files.writeString(tmp, e.round.toString)
     Files.move(tmp, logPointer, StandardCopyOption.ATOMIC_MOVE,
@@ -475,12 +479,30 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
   private def pagesOfRound(r: Int): DataFrame =
     pageView(pages.read(entry(r).pagesV), r)
 
-  /** All RETAINED pages up to the last complete round (pages are per-round
-    * snapshots; the union is the corpus-crawled table of the retention
-    * window — the full corpus when gc() has never run). */
+  /** The retained window's (pagesV → rounds pointing at it) map. Before
+    * `compactPages` every version is pointed at by exactly one round;
+    * after, a compacted version is shared by its window. Reads iterate
+    * DISTINCT versions and row-filter to the rounds that point at each —
+    * which also keeps every crash-prefix of a compaction's entry rewrites
+    * exact (a half-repointed window reads the repointed rounds from the
+    * merged version and the rest from their old per-round versions,
+    * never both). */
+  private def versionRounds(lo: Int, hi: Int): Seq[(Long, Seq[Int])] =
+    (lo to hi).map(r => (entry(r).pagesV, r)).groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (v, rs) => (v, rs.map(_._2)) }
+
+  private def roundFiltered(df: DataFrame, rs: Seq[Int]): DataFrame =
+    if (df.columns.contains("fetchRound"))
+      df.filter(col("fetchRound").isin(rs.map(Int.box): _*))
+    else df // pre-fetchRound versions are never shared (only compaction shares)
+
+  /** All RETAINED pages up to the last complete round (the union over the
+    * retention window's distinct page versions — the full corpus when
+    * gc() has never run). */
   def allPages(): Option[DataFrame] = lastCompleteRound.filter(_ >= 0).map { last =>
-    (math.max(0, oldestRetainedRound.get) to last)
-      .map(pagesOfRound).reduce(_ unionByName _)
+    versionRounds(math.max(0, oldestRetainedRound.get), last)
+      .map { case (v, rs) => roundFiltered(pageView(pages.read(v), rs.head), rs) }
+      .reduce(_ unionByName _)
   }
 
   /** Garbage-collect history: keep the last `keepLastRounds` complete
@@ -526,6 +548,59 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     removed
   }
 
+  /** Compact the pages history: merge rounds [lo, hi]'s page versions into
+    * ONE committed version and repoint every entry in the window at it —
+    * the Iceberg rewrite-data-files analog. A snapshot-per-round layout
+    * accumulates one version (= one file set) per round forever; a 10^4-
+    * round crawl pays 10^4 version opens per corpus read without this.
+    * The merged version is range-partitioned and sorted on (fetchRound,
+    * urlHash), so its per-file min/max stats stay TIGHT and
+    * `pagesInRounds`'s readPruned file-prune keeps working across the
+    * compacted window (CompactionSpec pins slice exactness after).
+    *
+    * Crash-safe at every prefix: the merged version commits first
+    * (unreferenced orphan), then each entry repoints atomically WITHOUT
+    * touching the `current` pointer; readers row-filter every version to
+    * the rounds that point at it (`versionRounds`), so a half-repointed
+    * window reads repointed rounds from the merged version and the rest
+    * from their old versions — never both. Re-running completes
+    * idempotently. Replaced versions become unreferenced and fall to the
+    * next `gc`'s reuse-aware floor. Returns the merged version (or the
+    * already-shared version when the window is a single version).
+    * `failAfterRepoints` injects a crash after that many entry rewrites —
+    * the CompactionSpec hook. */
+  def compactPages(lo: Int, hi: Int, failAfterRepoints: Int = Int.MaxValue): Long = {
+    ensureWriterLock()
+    val last = lastCompleteRound.getOrElse(
+      throw new IllegalStateException("call init() first"))
+    val l = math.max(lo, math.max(0, oldestRetainedRound.get))
+    val h = math.min(hi, last)
+    require(l <= h, s"empty compaction window [$lo, $hi] within retention")
+    val vr = versionRounds(l, h)
+    if (vr.size <= 1) return vr.head._1
+    val merged = vr.map { case (v, rs) =>
+        val df = pages.read(v)
+        // legacy versions (never shared) lack fetchRound: stamp from the
+        // round-log so the merged version always file-prunes on it
+        roundFiltered(
+          if (df.columns.contains("fetchRound")) df
+          else df.withColumn("fetchRound", lit(rs.head)), rs)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .repartitionByRange(col("fetchRound"), col("urlHash"))
+      .sortWithinPartitions("fetchRound", "urlHash")
+    val vC = pages.commit(merged)
+    var repointed = 0
+    for (r <- l to h) {
+      if (repointed >= failAfterRepoints)
+        throw new RuntimeException(s"injected kill after $repointed compaction repoints")
+      writeEntryFile(entry(r).copy(pagesV = vC))
+      repointed += 1
+    }
+    heartbeat()
+    vC
+  }
+
   /** Pages crawled in rounds [lo, hi] — the round-sliced corpus read a
     * downstream consumer (e.g. the segmentation aggregation over one
     * crawl window) uses instead of scanning the archive:
@@ -543,15 +618,15 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     lastCompleteRound.filter(_ >= 0).flatMap { last =>
       val l = math.max(lo, math.max(0, oldestRetainedRound.get)) // gc-trimmed floor
       val h = math.min(hi, last)
-      (l to h).map { r =>
-        val v = entry(r).pagesV
+      if (l > h) None
+      else versionRounds(l, h).map { case (v, rs) =>
         // A pre-fetchRound version can't file-prune on the column (its
         // files carry no such stats) — but it IS whole-round r's pages and
         // r ∈ [l, h], so whole-version selection via the round log is the
         // exact slice; stamp the column so the union stays uniform.
         if (pages.schemaAt(v).fieldNames.contains("fetchRound"))
-          pageView(pages.readPruned("fetchRound", lo, hi, v), r)
-        else pageView(pages.read(v), r)
+          roundFiltered(pageView(pages.readPruned("fetchRound", lo, hi, v), rs.head), rs)
+        else pageView(pages.read(v), rs.head)
       }.reduceOption(_ unionByName _)
     }
 
@@ -563,10 +638,9 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     * and contribute no edges). None when no retained version has links. */
   def linkEdges(): Option[DataFrame] =
     lastCompleteRound.filter(_ >= 0).flatMap { last =>
-      (math.max(0, oldestRetainedRound.get) to last).flatMap { r =>
-        val v = entry(r).pagesV
+      versionRounds(math.max(0, oldestRetainedRound.get), last).flatMap { case (v, rs) =>
         if (pages.schemaAt(v).fieldNames.contains("links"))
-          Some(LinkGraph.edges(pages.read(v)))
+          Some(LinkGraph.edges(roundFiltered(pages.read(v), rs)))
         else None
       }.reduceOption(_ unionByName _)
     }
