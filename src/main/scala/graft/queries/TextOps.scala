@@ -502,6 +502,71 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** D7 — dedup CLUSTER formation: near-dup detection emits PAIRS, but a
+    * pipeline drops duplicates by CLUSTER (keep one representative per
+    * connected component of the pair graph — a doc similar to A and B
+    * must not survive because A and B were compared separately). Spark
+    * side: distributed min-label propagation to convergence (the
+    * GraphX-Pregel connected-components kernel): per sweep ONE narrow
+    * equi-shuffle of the symmetric edge list against (id, label) and one
+    * min-aggregate; converges in component-diameter sweeps (near-dup
+    * clusters are shallow; the billion-node path swaps in large-star/
+    * small-star contraction, same join shape). Labels localCheckpoint
+    * per sweep — the loop's plan stays O(1). Oracle: the same exact
+    * pairs, closed transitively by a recursive CTE (oracle-scale tool,
+    * like the audit ground truths). Output: every document with its
+    * cluster id (min doc_id of its component) and the keeper flag. */
+  private val dedupClusters = Q(
+    "dedup_clusters",
+    s"""WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |           list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |             i -> str_split(text, ' ')[i] || ' ' || str_split(text, ' ')[i+1]
+      |                  || ' ' || str_split(text, ' ')[i+2])
+      |           ELSE [] END) AS grams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(len(list_filter(a.grams, g -> list_contains(b.grams, g))) AS DOUBLE) AS inter,
+      |         CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS tot
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.grams) > 0 AND len(b.grams) > 0),
+      |pr AS (SELECT id_a, id_b FROM p WHERE inter / (tot - inter) >= $JACCARD_TAU),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a
+      |)
+      |SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster, min(r) = node AS is_keeper
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = ngramJaccardPairs(s, d, JACCARD_TAU).select(col("id_a"), col("id_b"))
+    val sym = pairs.union(pairs.select(col("id_b"), col("id_a"))).toDF("src", "dst")
+      .persist()
+    var labels = documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("src"), col("cluster").as("nc")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("nc").as("nbrMin"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbrMin"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("doc_id"), col("cluster"),
+      (col("doc_id") === col("cluster")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   // MinHash/SimHash/LSH tunables live in graft.queries.{MinHashParams,
   // SimHashParams} (library arguments with the registry-bound defaults).
 
@@ -990,7 +1055,8 @@ object TextOps {
   val all: Seq[Q] = Seq(
     tokenCount, textQuality, textLangId, textFingerprint, fingerprintSignature,
     textRepetition, sampleHash, textPiiRedact, decontaminate,
-    dedupExact, dedupParagraph, dedupNgramJaccard, dedupMinhash, minhashSignature,
+    dedupExact, dedupParagraph, dedupNgramJaccard, dedupClusters,
+    dedupMinhash, minhashSignature,
     dedupSimhash, dedupMinhashAudit, dedupSimhashAudit,
     extract10k, extractMetrics, canonicalizeUrl, htmlToText, multimodalMeta,
     multimodalDecode, multimodalDecodeReal, multimodalDecodeImg,
