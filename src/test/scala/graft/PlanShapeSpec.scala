@@ -153,4 +153,17 @@ class PlanShapeSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(out == (3500L until 5000L).toSeq)
   }
+
+  test("decontaminate: the eval-gram probe broadcasts, never shuffles the corpus grams") {
+    val p = planOf(q("decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("link_pagerank: N rides a broadcast 1-row aggregate, never a driver collect") {
+    val p = planOf(q("link_pagerank"))
+    // the ÷N / ×N factors join in via BroadcastNestedLoopJoin over the
+    // single-row count aggregate — a shape with zero driver actions
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
 }
