@@ -84,6 +84,25 @@ object Robots {
       .toDF("host", "allow", "disallow", "crawlDelayMs", "sitemaps")
   }
 
+  /** Bootstrap the rules table FROM THE CRAWL ITSELF: fetch
+    * `https://<host>/robots.txt` for every (distinct) host through the
+    * same pluggable Fetcher the crawl uses, parse the 200s with
+    * [[parseRobotsTxt]]. Hosts whose robots.txt is missing (status ≠ 200)
+    * get no rules row — `filterAllowed`'s left join already treats
+    * rule-less hosts as unrestricted, the standard semantics. The fetch
+    * is one bounded wave (one url per host), so the result is the same
+    * small broadcast dimension as the file loaders. */
+  def fetchRules(hosts: DataFrame, fetcher: graft.fetch.Fetcher): DataFrame = {
+    val robotsUrl = concat(lit("https://"), col("host"), lit("/robots.txt"))
+    val popped = hosts.select(col("host")).distinct()
+      .select(robotsUrl.as("url"), xxhash64(robotsUrl).as("urlHash"),
+        col("host"), lit(0.0).as("priority"), lit(0).as("depth"),
+        lit(0).as("round"))
+    parseRobotsTxt(
+      fetcher.fetch(popped).filter(col("status") === 200)
+        .select(col("host"), col("text").as("body")))
+  }
+
   /** The pure per-host parse behind [[parseRobotsTxt]]. */
   private[crawl] def parseRobotsBody(
       body: String): (Seq[String], Seq[String], Long, Seq[String]) = {

@@ -90,6 +90,31 @@ class RobotsTxtSitemapSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("fetchRules bootstraps rules from the crawl's own fetcher") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // a corpus holding robots.txt for h0/h1 (h1 all-blocked); h2 has none
+    val corpus = Seq(
+      ("https://h0.example/robots.txt", ts, robotsBody.getBytes(UTF_8), robotsBody, "en"),
+      ("https://h1.example/robots.txt", ts,
+        "User-agent: *\nDisallow: /".getBytes(UTF_8), "User-agent: *\nDisallow: /", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val hosts = Seq("h0.example", "h1.example", "h2.example").toDF("host")
+    val rules = Robots.fetchRules(hosts, new graft.fetch.CorpusFetcher(() => corpus))
+      .orderBy("host").collect()
+    assert(rules.map(_.getString(0)).toSeq == Seq("h0.example", "h1.example"),
+      "missing robots.txt (h2) yields no rules row = unrestricted")
+    assert(rules(0).getAs[collection.Seq[String]]("disallow") == Seq("/private/", "/tmp/"))
+    assert(rules(1).getAs[collection.Seq[String]]("disallow") == Seq("/"))
+
+    val urls = Seq("https://h0.example/ok", "https://h1.example/ok", "https://h2.example/ok")
+      .toDF("url").withColumn("host", regexp_extract(col("url"), "//([^/]+)/", 1))
+    val allowed = Robots.filterAllowed(urls,
+      Robots.fetchRules(hosts, new graft.fetch.CorpusFetcher(() => corpus)))
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(allowed == Set("https://h0.example/ok", "https://h2.example/ok"))
+  }
+
   test("sitemap seeds flow into the frontier through robots filtering") {
     val urlset =
       """<urlset><url><loc>https://h0.example/private/x</loc></url>
