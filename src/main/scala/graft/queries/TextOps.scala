@@ -547,7 +547,16 @@ object TextOps {
     var labels = documents(s, d)
       .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint(true)
     var converged = false
+    var sweeps = 0
     while (!converged) {
+      // one-hop propagation needs diameter sweeps; near-dup components are
+      // shallow by nature, so an unconverged deep chain signals the wrong
+      // kernel for the data — fail loud and name the scale path rather
+      // than spin the driver loop
+      sweeps += 1
+      require(sweeps <= 64,
+        "dedup_clusters: component diameter exceeds 64 sweeps — switch to " +
+          "large-star/small-star contraction for deep-chain graphs")
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("src"), col("cluster").as("nc")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("nc").as("nbrMin"))

@@ -149,9 +149,13 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
   /** Round-log format version. v1 had no failedV/cuckooV (the deletable
     * seen-subset landed later); missing fields read as NO_TABLE so a store
     * written by the old format resumes with empty failed/cuckoo state
-    * instead of NPE-ing. Unknown FUTURE versions fail fast with a clear
-    * message rather than misreading fields. */
-  private val FORMAT_VERSION = 2
+    * instead of NPE-ing. v3 declares that entries may SHARE a pagesV
+    * (pages compaction) and readers must iterate distinct versions with a
+    * per-round row filter — a v2 reader iterating per-round would silently
+    * DOUBLE-READ a compacted store, so v3 makes it fail fast instead.
+    * Unknown FUTURE versions fail fast with a clear message rather than
+    * misreading fields. */
+  private val FORMAT_VERSION = 3
   private val NO_TABLE = Long.MinValue
 
   private def optLong(n: com.fasterxml.jackson.databind.JsonNode, field: String): Long = {
