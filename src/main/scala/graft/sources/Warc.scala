@@ -143,4 +143,26 @@ object Warc {
       })
       .toDF("url", "warc_ts", "html", "text", "lang")
   }
+
+  /** STREAMING ingest of the same directory — new `.warc.gz` files are
+    * picked up incrementally by the file source (exactly-once per file
+    * via the source's own log), parsed with the identical per-member
+    * record reader, and emitted in the canonical input shape. This is
+    * the continuous-crawl feed: an archive drop-box becomes a live
+    * corpus stream for the politeness-gated processing tier. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binarySchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.warc.gz")
+      .schema(binarySchema)
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(parseWarcGz).map { case (url, ts, html, lang) =>
+        (url, ts, html, SyntheticCorpus.stripHtml(new String(html, UTF_8)), lang)
+      })
+      .toDF("url", "warc_ts", "html", "text", "lang")
+  }
 }
