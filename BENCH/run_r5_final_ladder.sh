@@ -9,7 +9,7 @@ for CPUS in 4 1; do
   SPARK_DRIVER_MEM=48g GRAFT_CRAWL_VERBOSE=1 \
   java $ADD_OPENS -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-    graft.CrawlBench $CPUS 300000 4 3 BENCH/r5_final2_local$CPUS.json 2>&1 | grep -E "^\[round\]|crawl_urls_per_sec"
+    graft.CrawlBench $CPUS 300000 4 3 BENCH/r5_final3_local$CPUS.json 2>&1 | grep -E "^\[round\]|crawl_urls_per_sec"
   echo "=== level local[$CPUS] done $(date -u +%H:%M:%S)"
 done
 echo "LADDER COMPLETE"
