@@ -191,11 +191,21 @@ object Relational {
       |         row_number() OVER (PARTITION BY l_orderkey
       |                            ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
       |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin) { (s, d) =>
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
-    lineitem(s, d).withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    // Same relation as the window form, via ONE hash aggregation: the
+    // row_number()=1 row under ORDER BY (shipdate DESC, linenumber DESC)
+    // is exactly max_by over the lexicographic (shipdate, linenumber)
+    // struct — (shipdate, linenumber) is unique within an order, so there
+    // are no ties. Partial aggregation reduces the exchange to one row
+    // per key and drops both window sorts (guide §2.3 "aggregate before
+    // you shuffle"); proven equal to the unchanged DuckDB oracle.
+    lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(max_by(
+        struct(col("l_linenumber"), col("l_shipdate")),
+        struct(col("l_shipdate"), col("l_linenumber"))).as("m"))
+      .select(col("l_orderkey"),
+        col("m.l_linenumber").as("l_linenumber"),
+        col("m.l_shipdate").as("l_shipdate"))
       .orderBy("l_orderkey")
   }
 
@@ -370,14 +380,18 @@ object Relational {
       |       split_part(text, ' ', 1) AS first_word,
       |       trim(lpad(lang, 4, ' ')) AS padded
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    documents(s, d).select(
-      col("doc_id"),
-      upper(substring(col("text"), 1, 10)).as("head"),
-      length(col("text")).cast("long").as("len"),
-      concat_ws("|", col("lang"), col("source")).as("tag"),
-      element_at(split(col("text"), " "), 1).as("first_word"),
-      trim(lpad(col("lang"), 4, " ")).as("padded"))
-      .orderBy("doc_id")
+    // sort-first: the tokenizing projection runs ONCE above the narrow
+    // sort instead of twice below it (range-sample pass re-executes the
+    // child; see TextOps.docsSorted) and keeps the exchange's parallelism
+    graft.tables.Tables.sortedWide(
+      documents(s, d).select("doc_id", "text", "lang", "source"), "doc_id")
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head"),
+        length(col("text")).cast("long").as("len"),
+        concat_ws("|", col("lang"), col("source")).as("tag"),
+        element_at(split(col("text"), " "), 1).as("first_word"),
+        trim(lpad(col("lang"), 4, " ")).as("padded"))
   }
 
   private val scalarRegex = Q(

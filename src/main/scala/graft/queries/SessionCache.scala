@@ -34,6 +34,15 @@ object SessionCache {
     * SparkContext). */
   def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val sk = sessionKey(s)
+    // Cached plans are compiled with AQE's runtime re-optimization disabled
+    // unless this is on (Spark keeps it off by default only to preserve the
+    // output partitioning some callers expect). Every memo here is consumed
+    // through joins/aggregations that re-shuffle anyway, so let the cached
+    // pipeline keep AQE (coalescing, runtime join selection) instead of
+    // paying fixed-width stage waves at materialization.
+    try s.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    catch { case _: Throwable => () }
     if (hooked.add(sk)) {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =

@@ -20,6 +20,19 @@ object TextOps {
 
   private def tokens: Column = split(col("text"), " ")
 
+  /** documents pre-sorted by doc_id, projected to (doc_id +: cols) — the
+    * shared head of the per-row text queries. Heavy per-row expression
+    * chains are applied ABOVE this sort instead of below a trailing
+    * orderBy (guide §1.4/§2.3): range-partitioning's sample pass
+    * re-executes its child subtree, so `heavy.orderBy(id)` evaluated every
+    * regex/fold TWICE — and single-threaded, because the sample fed from
+    * the single-split scan. Sorting the narrow columns first makes the
+    * sample a bare scan and runs the kernel ONCE over the sorted range
+    * partitions (a Project above a Sort preserves row order, so the
+    * output ordering contract is unchanged). */
+  private def docsSorted(s: SparkSession, d: String, cols: String*): DataFrame =
+    sortedWide(documents(s, d).select("doc_id", cols: _*), "doc_id")
+
   // ------------------------------------------------------------ tokenize
   private val tokenCount = Q(
     "token_count",
@@ -29,13 +42,12 @@ object TextOps {
       |         AS re_tokens,
       |       CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    documents(s, d).select(
+    docsSorted(s, d, "text").select(
       col("doc_id"),
       size(tokens).cast("long").as("ws_tokens"),
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^ a-z0-9]', 0)"))
         .cast("long").as("re_tokens"),
       length(col("text")).cast("long").as("n_chars"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------- quality
@@ -61,13 +73,12 @@ object TextOps {
     val nTok  = size(tokens)
     val nStop = stopCount(tokens)
     val stopRatio = nStop.cast("double") / nTok
-    documents(s, d).select(
+    docsSorted(s, d, "text").select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       round(stopRatio, 4).as("stop_ratio"),
       round((length(col("text")) - nTok + 1).cast("double") / nTok, 4).as("mean_wlen"),
       round(least(lit(1.0), nTok / 100.0) * (lit(1.0) - stopRatio), 4).as("quality"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------------- lang ID
@@ -90,7 +101,7 @@ object TextOps {
          |FROM (SELECT doc_id, lang, $cnt FROM documents)
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val scored = MARKERS.foldLeft(documents(s, d)) { case (df, (l, ws)) =>
+    val scored = MARKERS.foldLeft(docsSorted(s, d, "lang", "text")) { case (df, (l, ws)) =>
       df.withColumn(s"s_$l",
         size(filter(tokens, w => w.isInCollection(ws))).cast("long"))
     }
@@ -99,7 +110,6 @@ object TextOps {
       when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
         .when(col("s_es") >= col("s_de"), "es")
         .otherwise("de").as("pred_lang"))
-      .orderBy("doc_id")
   }
 
   // --------------------------------------------------------- fingerprint
@@ -108,14 +118,13 @@ object TextOps {
     * order-sensitive (a permuted document fingerprints differently).
     * Engine-specific hash → rows-only check. */
   private val textFingerprint = Q.noOracle("text_fingerprint") { (s, d) =>
-    documents(s, d).select(
+    docsSorted(s, d, "text").select(
       col("doc_id"),
       aggregate(
         transform(tokens, w => xxhash64(w)),
         lit(0L),
         (acc, h) => (shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59)))
           .bitwiseXOR(h)).as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   /** Cross-engine FINGERPRINT PARITY twin of text_fingerprint — the same
@@ -131,11 +140,10 @@ object TextOps {
       |       list_reduce(list_prepend('', str_split(text, ' ')),
       |                   (acc, t) -> md5(acc || ':' || t)) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    documents(s, d).select(
+    docsSorted(s, d, "text").select(
       col("doc_id"),
       aggregate(tokens, lit(""),
         (acc, t) => md5(concat(acc, lit(":"), t))).as("fingerprint"))
-      .orderBy("doc_id")
   }
 
   // --------------------------------------------------- repetition signals
@@ -170,7 +178,10 @@ object TextOps {
       |       COALESCE(round(CAST(top_bg AS DOUBLE) / n_bigrams, 4), 0.0) AS top_bigram_frac
       |FROM ua LEFT JOIN ba ON ua.doc_id = ba.doc_id
       |ORDER BY ua.doc_id""".stripMargin) { (s, d) =>
-    val base = documents(s, d).select(col("doc_id"), tokens.as("t"))
+    // fanOut: the explode + partial hash aggs otherwise run fused onto the
+    // single-split scan task (guide §2.2 — CPU-dense stage, one core)
+    val base = fanOut(documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens.as("t"))
     val uni = base.select(col("doc_id"), explode(col("t")).as("tok"))
       .groupBy("doc_id", "tok").count()
       .groupBy("doc_id").agg(
@@ -266,7 +277,7 @@ object TextOps {
       (col("doc_id") % 256).cast("string"), lit(".0."),
       ((col("doc_id") * 7) % 256).cast("string"),
       lit(" "), col("text"))
-    documents(s, d).select(col("doc_id"), dirty.as("t"))
+    docsSorted(s, d, "text").select(col("doc_id"), dirty.as("t"))
       .select(
         col("doc_id"),
         size(regexp_extract_all(col("t"), lit(PII_EMAIL), lit(0))).cast("long").as("n_email"),
@@ -277,7 +288,6 @@ object TextOps {
             regexp_replace(col("t"), PII_EMAIL, "<EMAIL>"),
             PII_IP, "<IP>"),
           PII_PHONE, "<PHONE>").as("redacted"))
-      .orderBy("doc_id")
   }
 
   // -------------------------------------------------------- decontamination
@@ -316,7 +326,10 @@ object TextOps {
         transform(sequence(lit(1), size(tk) - (DECON_N - 1)),
           i => concat_ws(" ", slice(tk, i, lit(DECON_N)))))
       .otherwise(array().cast("array<string>"))
-    val g = documents(s, d).select(col("doc_id"), explode(grams).as("g"))
+    // fanOut: the n-gram explode is the expensive stage (per-token slice +
+    // concat) and otherwise fuses onto the single-split scan task
+    val g = fanOut(documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(grams).as("g"))
     val ev = g.filter(col("doc_id") % DECON_EVAL_MOD === 0).select("g").distinct()
     g.filter(col("doc_id") % DECON_EVAL_MOD =!= 0)
       .join(broadcast(ev), Seq("g"))
@@ -375,7 +388,7 @@ object TextOps {
     val segArr = transform(
       sequence(lit(1L), ceil(size(t) / lit(10.0)).cast("long")),
       i => concat_ws(" ", slice(t, ((i - 1) * segLen + 1).cast("int"), lit(segLen))))
-    val segs = documents(s, d)
+    val segs = fanOut(documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), posexplode(segArr).as(Seq("pos0", "seg")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("seg"))
     val keepers = segs.groupBy("seg")
@@ -426,7 +439,11 @@ object TextOps {
     * scaladoc describes). */
   private def gramsTable(s: SparkSession, d: String): DataFrame =
     SessionCache.df(s, s"jaccard_grams:$d") {
-      documents(s, d)
+      // fanOut: parallelizes the shingle-hash build AND leaves the
+      // persisted relation with `defaultParallelism` cached partitions, so
+      // every downstream join/explode over it starts wide instead of
+      // inheriting the single-split scan's one partition
+      fanOut(documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
         .filter(size(col("grams")) > 0)
@@ -444,6 +461,14 @@ object TextOps {
       import org.apache.spark.sql.expressions.Window
       val exploded = sh.select(
         col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("gram"))
+      // The two-window prefix build is KEPT deliberately: a measured
+      // hash-agg rewrite (df via groupBy + shuffled-hash join, prefix via
+      // collect_list/array_sort/slice) matched it stage-for-stage but was
+      // ~8x slower END-TO-END, because the self-join below references
+      // `prefix` twice and only the window plan's final exchange is
+      // REUSED across both sides (the agg plan re-executed its whole
+      // subtree per side, and its internal exploded⋈dfCounts join doubled
+      // it again). Exchange reuse beats sort elimination here.
       val withDf = exploded.withColumn("df",
         count(lit(1)).over(Window.partitionBy("gram")))
       val prefix = withDf
@@ -451,6 +476,11 @@ object TextOps {
           Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
         .filter(col("pos") <= col("n") - ceil(col("n") * tau).cast("int") + 1)
         .select("doc_id", "n", "gram")
+      // No SHUFFLE_HASH hint on the self-join: measured cold (the regime
+      // the bench runs), the hinted SHJ was ~1.4 s SLOWER than the
+      // sort-merge form — the two identical prefix sides share a
+      // ReusedExchange and their sorted runs make SMJ cheap, while SHJ
+      // pays a per-partition hash build of the full prefix relation.
       val cand = prefix.select(col("doc_id").as("id_a"), col("n").as("n_a"), col("gram"))
         .join(prefix.select(col("doc_id").as("id_b"), col("n").as("n_b"), col("gram")),
           Seq("gram"))
@@ -560,15 +590,17 @@ object TextOps {
       val nbrMin = sym
         .join(labels.select(col("doc_id").as("src"), col("cluster").as("nc")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("nc").as("nbrMin"))
+      // carry (new, old) in ONE checkpointed frame: the convergence probe
+      // reads `changed` off it directly instead of re-joining next⋈labels —
+      // one join per sweep, not two (each sweep is a synchronous job wave)
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbrMin"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbrMin"), col("cluster"))).as("cluster"),
+          col("cluster").as("old"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
+      converged = next.filter(col("cluster") =!= col("old")).isEmpty
+      labels.unpersist() // cosmetic for checkpoints; blocks are GC-reclaimed
+      labels = next.select(col("doc_id"), col("cluster"))
     }
     sym.unpersist()
     labels.select(col("doc_id"), col("cluster"),
@@ -620,31 +652,41 @@ object TextOps {
     // family re-hashes the longs (an equally valid MinHash family, and
     // seeded long-hashing is far cheaper than seeded string-hashing).
     val sig = SessionCache.df(s, s"minhash_sig:${p.k}:$d") {
-      documents(s, d)
+      // fanOut: the K-way min-fold is the pipeline's hot kernel and
+      // otherwise runs fused onto the single-split scan task
+      fanOut(documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           graft.expr.Shingles.word_shingles64(col("text")).as("grams"))
         .filter(size(col("grams")) > 0)
         .select(col("doc_id"), minhashSig(col("grams"), p).as("sig"))
     }
-    val banded = sig.select(
-      col("doc_id"), col("sig"),
-      posexplode(array((0 until p.bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * p.rowsPerBand + 1, p.rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "band_key")))
-    // LSH skew guard: drop buckets larger than bucketCap before pairing.
-    val bucketed = capBuckets(banded, Seq("band", "band_key"), p.bucketCap)
-    val l = bucketed.select(col("band"), col("band_key"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val r = bucketed.select(col("band").as("band_r"), col("band_key").as("key_r"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, col("band") === col("band_r") && col("band_key") === col("key_r")
-        && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          b => b)).cast("double") / p.k).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= p.estTau)
+    // The REPORTED pair set is memoized too (sig resolved above, outside
+    // this builder — the SessionCache nesting rule): dedup_minhash builds
+    // it once and dedup_minhash_audit's three counting branches (reported /
+    // recalled / precise) reuse ONE persisted copy instead of re-running
+    // the band self-join per branch.
+    SessionCache.df(s,
+      s"minhash_pairs:${p.k}:${p.bands}:${p.bucketCap}:${p.estTau}:$d") {
+      val banded = sig.select(
+        col("doc_id"), col("sig"),
+        posexplode(array((0 until p.bands).map { b =>
+          xxhash64(concat_ws(",",
+            slice(col("sig"), b * p.rowsPerBand + 1, p.rowsPerBand)), lit(b))
+        }: _*)).as(Seq("band", "band_key")))
+      // LSH skew guard: drop buckets larger than bucketCap before pairing.
+      val bucketed = capBuckets(banded, Seq("band", "band_key"), p.bucketCap)
+      val l = bucketed.select(col("band"), col("band_key"),
+        col("doc_id").as("id_a"), col("sig").as("sig_a"))
+      val r = bucketed.select(col("band").as("band_r"), col("band_key").as("key_r"),
+        col("doc_id").as("id_b"), col("sig").as("sig_b"))
+      l.join(r, col("band") === col("band_r") && col("band_key") === col("key_r")
+          && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)).cast("double") / p.k).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= p.estTau)
+    }
   }
 
   /** MinHash + LSH near-dup candidates: shingle → K minhashes → band keys →
@@ -717,28 +759,36 @@ object TextOps {
       |SELECT doc_id, $sigCols
       |FROM sh WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-    val grams = graft.expr.Shingles.word_shingles(col("text"))
+    // Shingles materialized ONCE as a column (the old filter + fold pair
+    // referenced the word_shingles expression twice per row), computed on
+    // the fanned-out scan; the md5 min-fold — the expensive part — runs
+    // ABOVE the sort so the range-sample pass never executes it (see
+    // docsSorted).
     // One K-way fold pass (single grams reference — see minhashSig note).
     // '~' (0x7E) sorts above every md5 hex char, so it is the fold identity.
     val sigs = aggregate(
-      grams,
+      col("grams"),
       array_repeat(lit("~"), MD5_SEEDS),
       (acc, g) => zip_with(acc,
         array((0 until MD5_SEEDS).map(k => md5(concat(lit(s"$k:"), g))): _*),
         (a, b) => least(a, b)))
-    documents(s, d)
-      .filter(size(grams) > 0)
+    sortedWide(
+      fanOut(documents(s, d).select(col("doc_id"), col("text")))
+        .select(col("doc_id"),
+          graft.expr.Shingles.word_shingles(col("text")).as("grams"))
+        .filter(size(col("grams")) > 0),
+      "doc_id")
       .withColumn("sigs", sigs)
       .select(col("doc_id") +:
         (0 until MD5_SEEDS).map(k => element_at(col("sigs"), k + 1).as(s"sig_$k")): _*)
-      .orderBy("doc_id")
   }
 
   /** The (doc_id, simhash) relation — memoized: consumed by the query's
     * band join and by the audit's brute-force ground truth. */
   private def simhashTable(s: SparkSession, d: String): DataFrame =
     SessionCache.df(s, s"simhash:$d") {
-      documents(s, d)
+      // fanOut: see gramsTable — parallel build, wide cached partitions
+      fanOut(documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"),
           graft.expr.SimHash64.simhash64(col("text")).as("simhash"))
     }
@@ -746,23 +796,28 @@ object TextOps {
   /** SimHash banded reported pairs (before presentation order/limit). */
   def simhashPairs(s: SparkSession, d: String,
                    p: SimHashParams = SimHashParams()): DataFrame = {
-    val sh = simhashTable(s, d)
-    val bandMask = if (p.bandBits == 64) -1L else (1L << p.bandBits) - 1L
-    val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until p.bands).map { b =>
-        shiftrightunsigned(col("simhash"), b * p.bandBits).bitwiseAND(lit(bandMask))
-      }: _*)).as(Seq("band", "chunk")))
-    val capped = capBuckets(banded, Seq("band", "chunk"), p.bucketCap)
-    val l = capped.select(col("band"), col("chunk"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val r = capped.select(col("band").as("band_r"), col("chunk").as("chunk_r"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, col("band") === col("band_r") && col("chunk") === col("chunk_r")
-        && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= p.maxHamming)
+    val sh = simhashTable(s, d) // resolved outside (SessionCache nesting rule)
+    // Memoized like minhashPairs: the audit's three counting branches
+    // reuse one persisted pair set instead of re-running the band join.
+    SessionCache.df(s,
+      s"simhash_pairs:${p.bands}:${p.maxHamming}:${p.bucketCap}:$d") {
+      val bandMask = if (p.bandBits == 64) -1L else (1L << p.bandBits) - 1L
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until p.bands).map { b =>
+          shiftrightunsigned(col("simhash"), b * p.bandBits).bitwiseAND(lit(bandMask))
+        }: _*)).as(Seq("band", "chunk")))
+      val capped = capBuckets(banded, Seq("band", "chunk"), p.bucketCap)
+      val l = capped.select(col("band"), col("chunk"),
+        col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      val r = capped.select(col("band").as("band_r"), col("chunk").as("chunk_r"),
+        col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      l.join(r, col("band") === col("band_r") && col("chunk") === col("chunk_r")
+          && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= p.maxHamming)
+    }
   }
 
   /** 64-bit SimHash from token hashes (majority vote per bit), banded into
@@ -785,19 +840,27 @@ object TextOps {
   def simhashAudit(s: SparkSession, d: String,
                    p: SimHashParams = SimHashParams()): DataFrame = {
     val sh = simhashTable(s, d)
-    val truth = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    // fanOut on the STREAM side of the all-pairs BNLJ: the n² popcount
+    // evaluation otherwise runs in as many tasks as the cached relation
+    // has partitions (guide §2.2)
+    val truth = fanOut(sh).select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
       .crossJoin(sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b")))
       .filter(col("id_a") < col("id_b") &&
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= p.maxHamming)
       .select("id_a", "id_b")
     val reported = simhashPairs(s, d, p)
-    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    // ONE pass over the n² truth join: true + recalled counts share the
+    // same left join (reported pairs are distinct, so no multiplication) —
+    // the count + semi-join-count branch pair evaluated the brute-force
+    // cross join twice.
+    val truthStats = truth
+      .join(reported.select("id_a", "id_b").withColumn("hit", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_recalled"))
     val nRep = reported.agg(count(lit(1)).as("n_reported"))
-    val nRec = truth.join(reported.select("id_a", "id_b"),
-      Seq("id_a", "id_b"), "left_semi").agg(count(lit(1)).as("n_recalled"))
     val nPrec = reported.filter(col("hamming") <= p.maxHamming)
       .agg(count(lit(1)).as("n_precise"))
-    nTrue.crossJoin(nRep).crossJoin(nRec).crossJoin(nPrec)
+    truthStats.crossJoin(nRep).crossJoin(nPrec)
       .select(col("n_true"), col("n_reported"), col("n_recalled"), col("n_precise"),
         round(col("n_recalled") / col("n_true"), 4).as("recall"),
         round(col("n_precise") / col("n_reported"), 4).as("precision"))
@@ -913,11 +976,10 @@ object TextOps {
        |       trim(regexp_replace(regexp_replace($htmlSql, '<[^>]*>', ' ', 'g'),
        |                           ' +', ' ', 'g')) AS stripped
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-    documents(s, d).select(
+    docsSorted(s, d, "source", "text").select(
       col("doc_id"),
       trim(regexp_replace(regexp_replace(htmlCol, "<[^>]*>", " "), " +", " "))
         .as("stripped"))
-      .orderBy("doc_id")
   }
 
   // ------------------------------------------------------- multimodal
@@ -943,13 +1005,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sorted doc ids as a Dataset[Long] — the shared head of the multimodal
+    * decode queries. The global ORDER BY runs over the NARROW id column
+    * BEFORE the decode map (guide §1.4/§2.3): range-partitioning's sample
+    * pass re-executes its child subtree, so a trailing orderBy above the
+    * decoder ran every codec TWICE — and on ONE task, because the sample
+    * fed from the single-split scan. Sorting first makes the sample pass a
+    * bare id scan and runs the decode ONCE over the sorted range
+    * partitions (map stages preserve partition-local row order and range
+    * partitions are read in order, so the output ordering contract is
+    * unchanged — pinned against the explicit-orderBy form in
+    * MultimodalSpec). */
+  private def sortedDocIds(s: SparkSession, d: String) = {
+    import s.implicits._
+    sortedWide(documents(s, d).select(col("doc_id").cast("long").as("doc_id")),
+      "doc_id").as[Long]
+  }
+
   /** The batched mapPartitions decode pipeline (graft.multimodal): binary
     * payloads → typed features via a pluggable decoder (deterministic stub
     * here — no codecs in this container). Engine-specific → rows-only. */
   private val multimodalDecode = Q.noOracle("multimodal_decode") { (s, d) =>
     import graft.multimodal.Multimodal
     Multimodal.decode(
-      Multimodal.mediaFromDocuments(documents(s, d)),
+      // pre-sorted narrow input; decode preserves the order (see
+      // sortedDocIds) so no post-decode sort re-runs the pipeline
+      Multimodal.mediaFromDocuments(
+        sortedWide(documents(s, d).select(col("doc_id"), col("text")), "doc_id")),
       new Multimodal.StubDecoder())
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
@@ -959,7 +1041,6 @@ object TextOps {
         // array<long>/array<float>); the JSON form pins the same bytes.
         to_json(col("frame_offsets")).as("frame_offsets"),
         to_json(col("embedding")).as("embedding"))
-      .orderBy("doc_id")
   }
 
   /** REAL decode round-trip with an exact cross-engine oracle: media
@@ -983,7 +1064,7 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.{Codecs, JvmCodecDecoder, Multimodal}
-    val media = documents(s, d).select(col("doc_id").cast("long")).as[Long].map { id =>
+    val media = sortedDocIds(s, d).map { id =>
       if (id % 2 == 0)
         Multimodal.MediaRow(id, "image",
           Codecs.makeBmp((16 + id % 32).toInt, (8 + id % 16).toInt, seed = id))
@@ -995,7 +1076,6 @@ object TextOps {
       .toDF()
       .select(col("doc_id"), col("kind"), col("n_bytes"), col("width"),
         col("height"), col("channels"), col("sample_rate"), col("n_frames"))
-      .orderBy("doc_id")
   }
 
   /** COMPRESSED-image decode with an exact cross-engine oracle: payloads
@@ -1016,7 +1096,7 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.{Codecs, JvmCodecDecoder, Multimodal}
-    val media = documents(s, d).select(col("doc_id").cast("long")).as[Long].map { id =>
+    val media = sortedDocIds(s, d).map { id =>
       val (w, h) = ((16 + id % 32).toInt, (8 + id % 16).toInt)
       if (id % 2 == 0) Multimodal.MediaRow(id, "png", Codecs.makePng(w, h, seed = id))
       else Multimodal.MediaRow(id, "jpeg", Codecs.makeJpeg(w, h, seed = id))
@@ -1025,7 +1105,6 @@ object TextOps {
       .toDF()
       .select(col("doc_id"), col("kind").as("codec"), col("width"),
         col("height"), col("channels"))
-      .orderBy("doc_id")
   }
 
   /** MULTI-FRAME container decode with an exact cross-engine oracle:
@@ -1048,7 +1127,7 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.multimodal.{Codecs, JvmCodecDecoder, Multimodal}
-    val media = documents(s, d).select(col("doc_id").cast("long")).as[Long].map { id =>
+    val media = sortedDocIds(s, d).map { id =>
       Multimodal.MediaRow(id, "gif",
         Codecs.makeGif((16 + id % 32).toInt, (8 + id % 16).toInt,
           (1 + id % 5).toInt, seed = id))
@@ -1058,7 +1137,6 @@ object TextOps {
       .select(col("doc_id"), col("kind").as("codec"), col("width"),
         col("height"), col("n_frames"),
         size(col("frame_offsets")).cast("long").as("n_offsets"))
-      .orderBy("doc_id")
   }
 
   val all: Seq[Q] = Seq(

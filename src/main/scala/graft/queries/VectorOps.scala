@@ -367,16 +367,30 @@ object VectorOps {
         (x.cast("double") * (lit(1.0) +
           (pmod(xxhash64(col("vec_id"), i), lit(101)) - lit(50)).cast("double") / 1000.0))
           .cast("float")).as("embedding"))
-    val e2 = base.unionByName(twins)
-      .withColumn("nrm", norm(col("embedding"))).filter(col("nrm") > 0)
-    val reported = embedPairsOf(e2, hashRelationOf(e2, LshParams()), 0.3)
+    // Memoized planted corpus (resolved before the reported builder —
+    // SessionCache nesting rule): e2 feeds the hash relation AND both
+    // verify-join sides, so one persisted copy replaces ~4 evaluations of
+    // the twin synthesis + norm.
+    val e2 = SessionCache.df(s, s"embed_audit_corpus:$d") {
+      graft.tables.Tables.fanOut(base.unionByName(twins))
+        .withColumn("nrm", norm(col("embedding"))).filter(col("nrm") > 0)
+    }
+    // Memoized: the reported pair set feeds THREE counting branches
+    // (planted / band-reported / band-recalled); one persisted copy
+    // replaces three runs of the planted-corpus LSH pipeline.
+    val reported = SessionCache.df(s, s"embed_audit_reported:$d") {
+      embedPairsOf(e2, hashRelationOf(e2, LshParams()), 0.3)
+    }
     val plantedFound = reported
       .filter(col("id_b") === col("id_a") + OFFSET)
       .agg(count(lit(1)).as("n_planted_found"))
     val nPlanted = base.agg(count(lit(1)).as("n_planted"))
-    // band tier over the BASE vectors only
+    // band tier over the BASE vectors only; fanOut widens the stream side
+    // of the all-pairs BNLJ (the n² dot-product evaluation otherwise runs
+    // in the single-split scan's one task — guide §2.2)
     val eBase = embWithNorm(s, d)
-    val a = eBase.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+    val a = graft.tables.Tables.fanOut(eBase)
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       col("nrm").as("nrm_a"))
     val b = eBase.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
       col("nrm").as("nrm_b"))
@@ -386,12 +400,15 @@ object VectorOps {
       .select("id_a", "id_b")
     val bandReported = reported
       .filter(col("id_a") < OFFSET && col("id_b") < OFFSET).select("id_a", "id_b")
-    val nBandTrue = bandTruth.agg(count(lit(1)).as("n_band_true"))
+    // ONE pass over the n² truth join: true count and recalled count come
+    // from the same left join (reported pairs are distinct by
+    // construction, so the join cannot multiply truth rows) — the old
+    // count + left_semi-count branch pair evaluated the cross join twice.
+    val bandStats = bandTruth
+      .join(bandReported.withColumn("hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_band_true"), count(col("hit")).as("n_band_recalled"))
     val nBandRep = bandReported.agg(count(lit(1)).as("n_band_reported"))
-    val nBandHit = bandTruth.join(bandReported, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_band_recalled"))
-    nPlanted.crossJoin(plantedFound).crossJoin(nBandTrue).crossJoin(nBandRep)
-      .crossJoin(nBandHit)
+    nPlanted.crossJoin(plantedFound).crossJoin(bandStats).crossJoin(nBandRep)
       .select(col("n_planted"), col("n_planted_found"),
         round(col("n_planted_found") / col("n_planted"), 4).as("planted_recall"),
         col("n_band_true"), col("n_band_reported"), col("n_band_recalled"),

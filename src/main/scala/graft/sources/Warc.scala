@@ -94,9 +94,19 @@ object Warc {
       private var nextRec: (String, java.sql.Timestamp, Array[Byte], String) = _
       private def advance(): Unit = {
         nextRec = null
+        // EOF is a CLEAN end only here, before the first header line of a
+        // record. Swallowing EOF around the whole parse silently dropped a
+        // truncated final record (e.g. a .warc.gz picked up by readStream
+        // mid-copy — the file source then marks the file done and
+        // exactly-once means no retry): silent data loss in the ingest
+        // path. EOF after 'WARC/' or inside readFully now throws, letting
+        // the caller quarantine/retry the file.
+        var l: String = null
         try {
-          var l = readLine()
+          l = readLine()
           while (l.isEmpty) l = readLine() // inter-record blank lines
+        } catch { case _: EOFException => return } // clean end of archive
+        try {
           require(l.startsWith("WARC/"), s"not a WARC record header: '$l'")
           var url: String = null; var ts: java.time.Instant = null
           var lang = ""; var len = -1
@@ -116,7 +126,12 @@ object Warc {
           val payload = new Array[Byte](len)
           in.readFully(payload)
           nextRec = (url, java.sql.Timestamp.from(ts), payload, lang)
-        } catch { case _: EOFException => nextRec = null }
+        } catch {
+          case e: EOFException =>
+            throw new java.io.IOException(
+              "truncated WARC archive: EOF inside a record (headers seen: " +
+                s"'$l' ...) — refusing to silently drop the tail", e)
+        }
       }
       advance()
       override def hasNext: Boolean = nextRec != null

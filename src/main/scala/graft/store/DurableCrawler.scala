@@ -53,7 +53,54 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
     n.put("pid", ProcessHandle.current().pid())
     n.put("token", lockToken)
     n.put("heartbeatMs", System.currentTimeMillis())
-    Files.writeString(lockPath, n.toString)
+    // Tempfile + ATOMIC_MOVE (the writeEntryFile pattern): an in-place
+    // truncate+write torn by a kill mid-heartbeat left an empty lock file
+    // that every future writer parsed as pid=-1 = live holder, permanently
+    // degrading kill-recovery to manual lock removal.
+    val tmp = Paths.get(root, s".writer.lock.tmp-$lockToken")
+    Files.writeString(tmp, n.toString)
+    Files.move(tmp, lockPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Serialized compare-and-delete of an observed-stale lock. The naive
+    * delete-then-recreate steal is a TOCTOU: two recovering drivers can
+    * interleave so that B deletes A's FRESHLY CREATED lock (A steals and
+    * acquires; B then removes A's file) and both end up holding the lock.
+    * An exclusive FileLock on a side file (never deleted — removing it
+    * would split the mutual exclusion across inodes) brackets a re-read:
+    * the stale file is deleted ONLY if it still carries the exact
+    * (pid, token) this driver observed dead, so a lock recreated by the
+    * race winner is never touched. Dead stealers cannot wedge the guard —
+    * OS file locks die with the process. */
+  private def stealStaleLock(obsPid: Long, obsToken: String): Unit = {
+    val guard = Paths.get(root, ".writer.lock.steal")
+    try {
+      val ch = java.nio.channels.FileChannel.open(guard,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock()
+        try {
+          val cur =
+            try Option(mapper.readTree(Files.readString(lockPath)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          val unchanged = cur.exists { c =>
+            c.get("pid") != null && c.get("pid").asLong() == obsPid &&
+              Option(c.get("token")).map(_.asText()).getOrElse("") == obsToken
+          }
+          if (unchanged) {
+            System.err.println(
+              s"[graft] recovering stale writer lock on $root (dead holder pid=$obsPid)")
+            Files.deleteIfExists(lockPath)
+          } // else: someone re-acquired since we looked — leave it; re-loop re-reads
+        } finally fl.release()
+      } finally ch.close()
+    } catch {
+      // lost an intra-JVM race on the guard (or an exotic FS without file
+      // locks): skip this steal attempt; the acquire loop re-evaluates
+      case _: java.nio.channels.OverlappingFileLockException => ()
+    }
   }
 
   /** Refresh the heartbeat timestamp (holder only; cheap tiny write). */
@@ -76,9 +123,13 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
           acquired = true
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
-            val holderPid =
-              try mapper.readTree(Files.readString(lockPath)).get("pid").asLong()
-              catch { case scala.util.control.NonFatal(_) => -1L } // mid-write/torn → treat as live
+            val holderNode =
+              try Option(mapper.readTree(Files.readString(lockPath)))
+              catch { case scala.util.control.NonFatal(_) => None } // mid-write/torn → treat as live
+            val holderPid = holderNode.flatMap(n => Option(n.get("pid")))
+              .map(_.asLong()).getOrElse(-1L)
+            val holderToken = holderNode.flatMap(n => Option(n.get("token")))
+              .map(_.asText()).getOrElse("")
             val self = ProcessHandle.current().pid()
             val holderAlive = holderPid > 0 &&
               ProcessHandle.of(holderPid).map[Boolean](_.isAlive).orElse(false)
@@ -86,9 +137,10 @@ class DurableCrawler(spark: SparkSession, val root: String, cfg: CrawlConfig = C
             // file from a recycled pid (this process registers BEFORE
             // creating the file and unregisters only after deleting it).
             if (holderPid > 0 && (!holderAlive || holderPid == self)) {
-              System.err.println(
-                s"[graft] recovering stale writer lock on $root (dead holder pid=$holderPid)")
-              Files.deleteIfExists(lockPath) // advisory: re-loop re-races createFile
+              // guarded compare-and-delete (see stealStaleLock): only the
+              // exact observed dead (pid, token) is ever removed, and only
+              // by one stealer; re-loop re-races createFile
+              stealStaleLock(holderPid, holderToken)
             } else throw new IllegalStateException(
               s"store $root is locked by a live writer (pid=$holderPid) — " +
                 "a snapshot store is single-writer; stop the other driver or, if it " +

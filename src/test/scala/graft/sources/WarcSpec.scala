@@ -92,4 +92,37 @@ class WarcSpec extends AnyFunSuite {
     assert(rows(a.state.seenExact) == rows(b.state.seenExact))
     viaWarc.unpersist()
   }
+
+  test("a truncated final record FAILS the parse instead of silently dropping") {
+    // r6 fix: EOF is clean only BEFORE a record's first header line. A
+    // record whose payload is cut (Content-Length past the actual bytes —
+    // what a .warc.gz copied mid-write looks like) must throw, because the
+    // exactly-once file source will never re-offer the file.
+    def gz(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("ISO-8859-1")); g.close()
+      bos.toByteArray
+    }
+    val good =
+      "WARC/1.0\r\nWARC-Target-URI: http://a/1\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+    // complete record parses fine
+    assert(Warc.parseWarcGz(gz(good)).size == 1)
+    // truncated payload: header promises 100 bytes, stream ends after 2
+    val truncated = good.replace("Content-Length: 2", "Content-Length: 100")
+    val e = intercept[java.io.IOException] {
+      Warc.parseWarcGz(gz(truncated)).size
+    }
+    assert(e.getMessage.contains("truncated WARC"))
+    // EOF mid-headers (after the version line) must also fail loud
+    val cutHeaders = "WARC/1.0\r\nWARC-Target-URI: http://a/1\r\n"
+    val e2 = intercept[java.io.IOException] {
+      Warc.parseWarcGz(gz(cutHeaders)).size
+    }
+    assert(e2.getMessage.contains("truncated WARC"))
+    // a whole, well-terminated archive still ends cleanly (EOF between
+    // records is not an error)
+    assert(Warc.parseWarcGz(gz(good + good.replace("http://a/1", "http://a/2"))).size == 2)
+  }
 }

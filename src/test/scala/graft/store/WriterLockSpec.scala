@@ -107,4 +107,42 @@ class WriterLockSpec extends AnyFunSuite {
     w.close() // idempotent
     assert(w.currentState().frontier.count() > 0) // handle still reads after close
   }
+
+  test("stale-lock steal is a guarded compare-and-delete, not blind delete") {
+    // r6 TOCTOU fix: the steal re-reads under an exclusive FileLock on the
+    // side file and deletes ONLY the exact observed (pid, token). A
+    // leftover guard file from a previous (possibly killed) stealer must
+    // not block recovery, and after recovery the guard file must still
+    // exist (deleting it would split the mutual exclusion across inodes).
+    val root = newRoot("lockSteal")
+    val p = new ProcessBuilder("true").start()
+    p.waitFor()
+    writeLockFile(root, p.pid())
+    Files.writeString(Paths.get(root, ".writer.lock.steal"), "") // stale guard
+    val d = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    d.init(seeds, robots)
+    assert(d.lastCompleteRound.contains(-1))
+    val n = mapper.readTree(Files.readString(Paths.get(root, ".writer.lock")))
+    assert(n.get("pid").asLong() == ProcessHandle.current().pid())
+    assert(Files.exists(Paths.get(root, ".writer.lock.steal")),
+      "guard file must never be deleted")
+    d.close()
+  }
+
+  test("heartbeat rewrite is atomic: no torn lock file is ever observable") {
+    // r6 fix: writeLockContent goes tempfile → ATOMIC_MOVE, so the lock
+    // file always parses with a pid even if a kill lands mid-heartbeat.
+    // Drive a real mutating op (which heartbeats) and pin the invariant.
+    val root = newRoot("lockHb")
+    val d = new DurableCrawler(spark, root, CrawlFixture.cfg)
+    d.init(seeds, robots)
+    val n = mapper.readTree(Files.readString(Paths.get(root, ".writer.lock")))
+    assert(n.get("pid").asLong() == ProcessHandle.current().pid())
+    assert(n.get("token").asText().nonEmpty && n.get("heartbeatMs").asLong() > 0)
+    // no orphan tempfiles after the move
+    val leftovers = Files.list(Paths.get(root)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".writer.lock.tmp-")).toSeq
+    assert(leftovers.isEmpty, s"heartbeat tempfile leaked: $leftovers")
+    d.close()
+  }
 }
