@@ -30,7 +30,38 @@ object Scratch {
 
     spark.range(100000).selectExpr("sum(id) s").write.format("noop").mode("overwrite").save()
 
-    // ---- dedup_embed_audit decomposition ----
+    // ---- agg_percentile A/B ----
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    time("percentile no fanOut") {
+      orders.groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    }
+    time("percentile fanOut") {
+      orders.select("o_orderstatus", "o_totalprice").repartition(p)
+        .groupBy("o_orderstatus").agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    }
+
+    // ---- GIF encode vs decode split (driver-side, single-thread probe) ----
+    {
+      import graft.multimodal.Codecs
+      val ids = (0L until 600L)
+      var t0 = System.nanoTime()
+      val gifs = ids.map(id => Codecs.makeGif((16 + id % 32).toInt,
+        (8 + id % 16).toInt, (1 + id % 5).toInt, seed = id))
+      val tEnc = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      gifs.foreach(Codecs.decodeGif)
+      val tDec = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] gif 600 rows: encode $tEnc%.2f s, decode $tDec%.2f s")
+    }
+
+    // ---- embed-audit: hashes memo effect ----
     val OFFSET = 1000000L
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
     val twins = base.select(
@@ -41,23 +72,18 @@ object Scratch {
           .cast("float")).as("embedding"))
     def norm(v: org.apache.spark.sql.Column) =
       sqrt(graft.expr.VectorExprs.vec_dot(v, v))
-    val p = spark.sparkContext.defaultParallelism
     val e2 = base.unionByName(twins).repartition(p)
-      .withColumn("nrm", norm(col("embedding"))).filter(col("nrm") > 0)
-
-    time("e2 (twins+norm)")(e2)
-
-    // hash relation of e2
+      .withColumn("nrm", norm(col("embedding"))).filter(col("nrm") > 0).persist()
+    e2.count()
     def planes: Array[Double] = {
       var st = 42L
       def next(): Long = { st = st * 6364136223846793005L + 1442695040888963407L; st }
       Array.fill(8 * 8 * 64)(if ((next() >>> 40 & 1L) == 1L) 1.0 else -1.0)
     }
-    def hashes = e2.withColumn("buckets", graft.expr.VectorExprs.lsh_buckets(
+    def freshHashes = e2.withColumn("buckets", graft.expr.VectorExprs.lsh_buckets(
       col("embedding"), planes, 64, 8, 8))
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-
-    time("hashes")(hashes)
+    val cachedHashes = freshHashes.persist(); cachedHashes.count()
 
     def pairsOf(h: DataFrame): DataFrame = {
       val small = h.select("tbl", "bucket")
@@ -70,36 +96,8 @@ object Scratch {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").distinct()
     }
-    time("candidate pairs")(pairsOf(hashes))
-
-    def reported: DataFrame = {
-      val prs = pairsOf(hashes)
-      val a = e2.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-        col("nrm").as("nrm_a"))
-      val b = e2.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-        col("nrm").as("nrm_b"))
-      prs.join(a, Seq("id_a")).join(b, Seq("id_b"))
-        .withColumn("cos", graft.expr.VectorExprs.vec_dot(col("emb_a"), col("emb_b")) /
-          (col("nrm_a") * col("nrm_b")))
-        .filter(col("cos") >= 0.3)
-        .select("id_a", "id_b", "cos")
-    }
-    time("reported (pairs+verify)")(reported)
-
-    val rep = reported.persist(); rep.count()
-    println(s"[scratch] reported rows: ${rep.count()}")
-
-    val eBase = base.withColumn("nrm", norm(col("embedding"))).filter(col("nrm") > 0)
-    val a2 = eBase.repartition(p).select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-      col("nrm").as("nrm_a"))
-    val b2 = eBase.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-      col("nrm").as("nrm_b"))
-    def bandTruth = a2.crossJoin(b2).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", graft.expr.VectorExprs.vec_dot(col("emb_a"), col("emb_b")) /
-        (col("nrm_a") * col("nrm_b")))
-      .filter(col("cos") >= 0.3)
-      .select("id_a", "id_b")
-    time("bandTruth cross join")(bandTruth)
+    time("pairs from fresh hashes")(pairsOf(freshHashes))
+    time("pairs from cached hashes")(pairsOf(cachedHashes))
     spark.stop()
   }
 }

@@ -68,11 +68,60 @@ object WriteBench {
         map(lit("m1"), (col("id") % 997).cast("double"),
             lit("m2"), (col("id") % 31).cast("double")).as("metrics"))
 
+  /** r6 (VERDICT #4): decompose the commitFetch shape. Three spans on the
+    * SAME generated data:
+    *   compute_noop  — the generation+extraction-shaped pipeline into the
+    *                   noop sink (no encode, no write);
+    *   write_only    — persisted input → parquet (encode + write; the
+    *                   original control);
+    *   fused_write   — UNPERSISTED pipeline → parquet (compute + encode +
+    *                   write in one pass: the write-once commitFetch shape).
+    * fused − compute − write ≈ overlap/residual; each span's own 4→16
+    * scaling attributes the commit stage's shortfall. */
+  def decompose(cpus: Int, nRows: Long, reps: Int, outJson: Option[String]): Unit = {
+    val spark = session(cpus)
+    val lines = Seq.newBuilder[String]
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+    def span(label: String)(body: => Unit): Unit = {
+      val walls = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+      }
+      val line = s"""{"metric":"commitfetch_decompose","span":"$label","cpus":$cpus,""" +
+        s""""value":${med(walls)},"unit":"sec","nRows":$nRows,""" +
+        s""""reps":${walls.mkString("[", ",", "]")}}"""
+      println(line); lines += line
+    }
+    span("compute_noop") {
+      roundShaped(spark, nRows, cpus)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val cached = roundShaped(spark, nRows, cpus).persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    span("write_only") {
+      val dir = Files.createTempDirectory("graft-wb-wo").toString
+      cached.write.mode("overwrite").parquet(dir)
+      rmTree(Paths.get(dir))
+    }
+    cached.unpersist(true)
+    span("fused_write") {
+      val dir = Files.createTempDirectory("graft-wb-fw").toString
+      roundShaped(spark, nRows, cpus).write.mode("overwrite").parquet(dir)
+      rmTree(Paths.get(dir))
+    }
+    outJson.foreach(p => Files.writeString(Paths.get(p), lines.result().mkString("", "\n", "\n")))
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val nRows = args(1).toLong
     val reps = if (args.length > 2) args(2).toInt else 3
-    val outJson = if (args.length > 3) Some(args(3)) else None
+    val outJson = if (args.length > 3 && args(3) != "decompose") Some(args(3)) else None
+    if (args.contains("decompose")) {
+      decompose(cpus, nRows, reps,
+        if (args.length > 4) Some(args(4)) else None)
+      return
+    }
 
     val spark = session(cpus)
     val df = roundShaped(spark, nRows, cpus).persist(StorageLevel.MEMORY_AND_DISK)
