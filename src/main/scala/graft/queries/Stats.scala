@@ -31,10 +31,11 @@ object Stats {
       |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p50,
       |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
-    // fanOut: exact percentile's partial aggregation buffers every value;
-    // widening the single-split scan parallelizes the buffer build + sort
-    fanOut(orders(s, d).select("o_orderstatus", "o_totalprice"))
-      .groupBy("o_orderstatus").agg(
+    // A fanOut before the aggregation was measured both ways: warm it is
+    // a wash (the partial percentile buffers partition the input either
+    // way), cold it costs ~+0.3 s (extra exchange + stage codegen), so
+    // the plain single-split build stays.
+    orders(s, d).groupBy("o_orderstatus").agg(
       round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
       round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
       .orderBy("o_orderstatus")

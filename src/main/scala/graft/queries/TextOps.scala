@@ -787,20 +787,29 @@ object TextOps {
     * band join and by the audit's brute-force ground truth. */
   private def simhashTable(s: SparkSession, d: String): DataFrame =
     SessionCache.df(s, s"simhash:$d") {
-      // fanOut: see gramsTable — parallel build, wide cached partitions
-      fanOut(documents(s, d).select(col("doc_id"), col("text")))
+      // NO fanOut here (measured): the simhash64 build is ~0.3 s of
+      // single-core work, but a 32-partition cached relation multiplies
+      // task waves in every tiny downstream stage of dedup_simhash
+      // (banding, cap, self-join, top-k) for a net LOSS; the audit's n²
+      // BNLJ — the one consumer that needs width — fans out its stream
+      // side explicitly instead.
+      documents(s, d)
         .select(col("doc_id"),
           graft.expr.SimHash64.simhash64(col("text")).as("simhash"))
     }
 
   /** SimHash banded reported pairs (before presentation order/limit). */
+  /** `memo = true` persists the pair set in the SessionCache — for
+    * consumers that read it more than once (the audit's counting
+    * branches). The single-pass consumer (dedup_simhash) keeps
+    * `memo = false`: it reads the pairs exactly once, and paying the
+    * cache materialization there only moves the audit's cost onto the
+    * producer query. */
   def simhashPairs(s: SparkSession, d: String,
-                   p: SimHashParams = SimHashParams()): DataFrame = {
+                   p: SimHashParams = SimHashParams(),
+                   memo: Boolean = true): DataFrame = {
     val sh = simhashTable(s, d) // resolved outside (SessionCache nesting rule)
-    // Memoized like minhashPairs: the audit's three counting branches
-    // reuse one persisted pair set instead of re-running the band join.
-    SessionCache.df(s,
-      s"simhash_pairs:${p.bands}:${p.maxHamming}:${p.bucketCap}:$d") {
+    def build: DataFrame = {
       val bandMask = if (p.bandBits == 64) -1L else (1L << p.bandBits) - 1L
       val banded = sh.select(col("doc_id"), col("simhash"),
         posexplode(array((0 until p.bands).map { b =>
@@ -818,6 +827,10 @@ object TextOps {
         .distinct()
         .filter(col("hamming") <= p.maxHamming)
     }
+    if (memo)
+      SessionCache.df(s,
+        s"simhash_pairs:${p.bands}:${p.maxHamming}:${p.bucketCap}:$d")(build)
+    else build
   }
 
   /** 64-bit SimHash from token hashes (majority vote per bit), banded into
@@ -826,7 +839,7 @@ object TextOps {
     * (ANSI-safe). The bit loop needs column-valued shift amounts, which the
     * Scala functions API doesn't expose → SQL higher-order expression. */
   private val dedupSimhash = Q.noOracle("dedup_simhash") { (s, d) =>
-    simhashPairs(s, d).orderBy("id_a", "id_b").limit(1000)
+    simhashPairs(s, d, memo = false).orderBy("id_a", "id_b").limit(1000)
   }
 
   /** Completeness audit of the banded SimHash pipeline against BRUTE-FORCE
