@@ -182,22 +182,32 @@ object TextOps {
     // single-split scan task (guide §2.2 — CPU-dense stage, one core)
     val base = fanOut(documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens.as("t"))
-    val uni = base.select(col("doc_id"), explode(col("t")).as("tok"))
-      .groupBy("doc_id", "tok").count()
-      .groupBy("doc_id").agg(
-        sum("count").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max("count").as("top_tok"))
     // sequence(1, 0) in Spark DESCENDS ([1,0]) instead of returning empty
     // like DuckDB range(1,1) — single-token docs must guard explicitly
     val bigrams = when(size(col("t")) > 1,
       transform(sequence(lit(1), size(col("t")) - 1),
         i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1))))
       .otherwise(array().cast("array<string>"))
-    val big = base.select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy("doc_id", "bg").count()
-      .groupBy("doc_id").agg(sum("count").as("n_bigrams"), max("count").as("top_bg"))
-    uni.join(big, Seq("doc_id"), "left")
+    // ONE kind-tagged explode + one aggregation chain (r6): the separate
+    // unigram and bigram explode→agg→agg chains plus their join shuffled
+    // the same rows through two parallel pipelines; tagging each gram
+    // with kind∈{0=token,1=bigram} folds both into a single
+    // groupBy(doc_id, kind, gram) → groupBy(doc_id) pass with
+    // conditional aggregates — same counts, half the stage waves, no
+    // join. (n_bigrams/top_bg stay NULL→coalesce for single-token docs,
+    // exactly like the old left join.)
+    val tagged = concat(
+      transform(col("t"), w => struct(lit(0).as("kind"), w.as("g"))),
+      transform(bigrams, b => struct(lit(1).as("kind"), b.as("g"))))
+    base.select(col("doc_id"), explode(tagged).as("kg"))
+      .select(col("doc_id"), col("kg.kind").as("kind"), col("kg.g").as("g"))
+      .groupBy("doc_id", "kind", "g").count()
+      .groupBy("doc_id").agg(
+        sum(when(col("kind") === 0, col("count"))).as("n_tokens"),
+        sum(when(col("kind") === 0, 1L)).as("n_distinct"),
+        max(when(col("kind") === 0, col("count"))).as("top_tok"),
+        sum(when(col("kind") === 1, col("count"))).as("n_bigrams"),
+        max(when(col("kind") === 1, col("count"))).as("top_bg"))
       .select(
         col("doc_id"),
         col("n_tokens"), col("n_distinct"),
@@ -394,7 +404,13 @@ object TextOps {
     val keepers = segs.groupBy("seg")
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.pos").as("pos"), col("seg"))
-    val ns = segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+    // n_segs in closed form (r6): the explode emits exactly
+    // ceil(n_tokens/10) rows per doc (split("") is [""], so n_tokens ≥ 1
+    // and every doc has ≥ 1 segment) — counting them re-ran the whole
+    // posexplode through a second agg chain for a value the row already
+    // determines.
+    val ns = documents(s, d).select(col("doc_id"),
+      ceil(size(tokens) / lit(10.0)).cast("long").as("n_segs"))
     val ka = keepers.groupBy("doc_id").agg(
       count(lit(1)).as("n_kept"),
       concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
